@@ -69,13 +69,88 @@ def _dlt_rows(p1: Array, p2: Array) -> Array:
     )
 
 
-def _solve_epipolar_dlt(p1: Array, p2: Array, weights: Array) -> Array:
-    """Weighted homogeneous solve of the epipolar DLT: (..., 3, 3) matrix
-    with unspecified scale and no rank constraint applied yet."""
+def _det3(M: Array) -> Array:
+    """Closed-form 3x3 determinant, batched."""
+    return (
+        M[..., 0, 0] * (M[..., 1, 1] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 1])
+        - M[..., 0, 1] * (M[..., 1, 0] * M[..., 2, 2] - M[..., 1, 2] * M[..., 2, 0])
+        + M[..., 0, 2] * (M[..., 1, 0] * M[..., 2, 1] - M[..., 1, 1] * M[..., 2, 0])
+    )
+
+
+def _cubic_roots_real(c3: Array, c2: Array, c1: Array, c0: Array) -> Array:
+    """Real roots of ``c3 t^3 + c2 t^2 + c1 t + c0``, batched -> (..., 3).
+
+    Trigonometric method for three real roots, Cardano for one; when fewer
+    than three real roots exist the extras duplicate a real root (harmless:
+    downstream scoring picks the best candidate). Near-quadratic leading
+    coefficients are guarded by normalizing with a clamped |c3|.
+    """
+    dtype = c3.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny ** 0.5, dtype)
+    c3_safe = jnp.where(jnp.abs(c3) < tiny, tiny, c3)
+    a = c2 / c3_safe
+    b = c1 / c3_safe
+    c = c0 / c3_safe
+    # depressed cubic s^3 + p s + q, t = s - a/3
+    p = b - a * a / 3.0
+    q = 2.0 * a**3 / 27.0 - a * b / 3.0 + c
+    disc = (q / 2.0) ** 2 + (p / 3.0) ** 3  # <0: three real roots
+    # --- three-real-root branch (trigonometric) ---
+    p_neg = jnp.minimum(p, -tiny)
+    m = 2.0 * jnp.sqrt(-p_neg / 3.0)
+    arg = jnp.clip(3.0 * q / (p_neg * m), -1.0, 1.0)
+    phi = jnp.arccos(arg)
+    k = jnp.arange(3, dtype=dtype)
+    s_tri = m[..., None] * jnp.cos(
+        (phi[..., None] - 2.0 * jnp.pi * k) / 3.0
+    )
+    # --- one-real-root branch (Cardano) ---
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    s_car = jnp.cbrt(-q / 2.0 + sq) + jnp.cbrt(-q / 2.0 - sq)
+    s = jnp.where(disc[..., None] < 0, s_tri, s_car[..., None])
+    return s - a[..., None] / 3.0
+
+
+def _solve_epipolar_span(p1: Array, p2: Array, weights: Array) -> tuple[Array, Array]:
+    """Two smallest-eigenvalue DLT solutions, (..., 3, 3) each.
+
+    A minimal (8-point) or degenerate point set leaves the epipolar DLT with
+    a >=2-dimensional null space (the reference's cube rig is such a case);
+    both basis vectors are needed to pin down the true matrix.
+    """
     A = _dlt_rows(p1, p2) * weights[..., None]
     AtA = jnp.swapaxes(A, -1, -2) @ A
-    f = linalg.smallest_eigvec_psd(AtA)
-    return f.reshape(f.shape[:-1] + (3, 3))
+    _, vecs = jnp.linalg.eigh(AtA)
+    e1 = vecs[..., :, 0].reshape(AtA.shape[:-2] + (3, 3))
+    e2 = vecs[..., :, 1].reshape(AtA.shape[:-2] + (3, 3))
+    return e1, e2
+
+
+def _span_candidates(E1: Array, E2: Array) -> Array:
+    """Rank-deficient candidates ``E1 + t E2`` from the DLT null span.
+
+    Solves ``det(E1 + t E2) = 0`` — a cubic in t with coefficients fitted
+    from four determinant evaluations (the 7-point-algorithm trick, H&Z
+    §11.1.2) — and stacks the three roots plus the raw basis vectors:
+    (..., 5, 3, 3). Candidates are Frobenius-normalized.
+    """
+    d0 = _det3(E1)
+    d1 = _det3(E1 + E2)
+    dm1 = _det3(E1 - E2)
+    d2 = _det3(E1 + 2.0 * E2)
+    c0 = d0
+    c2 = 0.5 * (d1 + dm1) - c0
+    half_odd = 0.5 * (d1 - dm1)          # c1 + c3
+    c3 = ((d2 - c0 - 4.0 * c2) * 0.5 - half_odd) / 3.0
+    c1 = half_odd - c3
+    ts = _cubic_roots_real(c3, c2, c1, c0)  # (..., 3)
+    cands = E1[..., None, :, :] + ts[..., :, None, None] * E2[..., None, :, :]
+    cands = jnp.concatenate(
+        [cands, E1[..., None, :, :], E2[..., None, :, :]], axis=-3
+    )
+    norm = jnp.linalg.norm(cands, axis=(-2, -1), keepdims=True)
+    return cands / jnp.maximum(norm, jnp.finfo(E1.dtype).tiny)
 
 
 def _apply_transform2d(T: Array, p: Array) -> Array:
@@ -86,56 +161,89 @@ def _apply_transform2d(T: Array, p: Array) -> Array:
     )
 
 
-def find_fundamental_matrix(p1: Array, p2: Array, weights: Array) -> Array:
-    """Hartley-normalized 8-point fundamental matrix, batched.
-
-    Steps (reference ``find_fundamental_matrix_8point``,
-    ``vision/fundamental-matrix.cpp:56-140``): condition both point sets,
-    solve the DLT, re-impose rank 2 by zeroing the smallest singular value,
-    denormalize as ``T2^T F' T1``, and fix the sign/scale so ``|F| = 1``
-    with a deterministic sign.
-
-    p1, p2: (..., N, 2) pixel coords; weights: (..., N).
-    """
-    T1 = normalization_transform(p1, weights)
-    T2 = normalization_transform(p2, weights)
-    q1 = _apply_transform2d(T1, p1)
-    q2 = _apply_transform2d(T2, p2)
-    F = _solve_epipolar_dlt(q1, q2, weights)
-    # rank-2 projection: zero the smallest singular value
+def _project_rank2(F: Array) -> Array:
+    """Zero the smallest singular value (fundamental-matrix structure,
+    reference ``vision/fundamental-matrix.cpp:128-136``)."""
     U, s, Vt = jnp.linalg.svd(F)
     s = s.at[..., 2].set(0.0)
-    F = (U * s[..., None, :]) @ Vt
-    F = jnp.swapaxes(T2, -1, -2) @ F @ T1
-    # normalize scale (the DLT fixes |f|=1 pre-denormalization only)
-    norm = jnp.linalg.norm(F, axis=(-2, -1), keepdims=True)
-    return F / jnp.maximum(norm, jnp.finfo(F.dtype).tiny)
+    return (U * s[..., None, :]) @ Vt
 
 
-def find_essential_matrix(r1: Array, r2: Array, weights: Array) -> Array:
-    """8-point essential matrix from *ideal-camera* rays, batched.
-
-    Like :func:`find_fundamental_matrix` but re-imposes the essential-matrix
-    structure: two equal singular values and a zero third,
-    ``E = U diag(s, s, 0) V^T`` with ``s = (s1 + s2) / 2`` (reference
-    ``find_essential_matrix``, ``vision/sfm-solve.cpp:62-90``).
-
-    r1, r2: (..., N, 3) homogeneous rays with last coord 1 (or (..., N, 2)).
-    """
-    p1 = r1[..., :2]
-    p2 = r2[..., :2]
-    T1 = normalization_transform(p1, weights)
-    T2 = normalization_transform(p2, weights)
-    q1 = _apply_transform2d(T1, p1)
-    q2 = _apply_transform2d(T2, p2)
-    E = _solve_epipolar_dlt(q1, q2, weights)
-    E = jnp.swapaxes(T2, -1, -2) @ E @ T1
+def _project_essential(E: Array) -> Array:
+    """Impose two equal singular values and a zero third:
+    ``E = U diag(s, s, 0) V^T``, ``s = (s1 + s2) / 2`` (reference
+    ``find_essential_matrix``, ``vision/sfm-solve.cpp:62-90``)."""
     U, s, Vt = jnp.linalg.svd(E)
     s_mean = 0.5 * (s[..., 0] + s[..., 1])
     s_new = jnp.stack([s_mean, s_mean, jnp.zeros_like(s_mean)], axis=-1)
-    E = (U * s_new[..., None, :]) @ Vt
-    norm = jnp.linalg.norm(E, axis=(-2, -1), keepdims=True)
-    return E / jnp.maximum(norm, jnp.finfo(E.dtype).tiny)
+    return (U * s_new[..., None, :]) @ Vt
+
+
+def _pick_best(cands: Array, err: Array, weights: Array) -> Array:
+    """cands: (..., C, 3, 3); err: (..., C, N) -> best candidate by weighted
+    residual sum."""
+    total = jnp.sum(err * weights[..., None, :], axis=-1)  # (..., C)
+    best = jnp.argmin(total, axis=-1)
+    return jnp.take_along_axis(
+        cands, best[..., None, None, None], axis=-3
+    )[..., 0, :, :]
+
+
+def find_fundamental_matrix(p1: Array, p2: Array, weights: Array) -> Array:
+    """Hartley-normalized fundamental matrix, batched, degeneracy-robust.
+
+    Rebuild of ``find_fundamental_matrix_8point``
+    (``vision/fundamental-matrix.cpp:56-140``) with one structural upgrade:
+    instead of taking only the smallest right singular vector of the DLT —
+    which is arbitrary when the point set is minimal or degenerate — the
+    two-vector null span is searched for the rank-deficient members
+    (det = 0 cubic, as in the 7-point algorithm) and the candidate with the
+    lowest weighted epipolar residual wins. Conditioning, rank-2 structure,
+    and ``T2^T F' T1`` denormalization follow the reference.
+
+    p1, p2: (..., N, 2) pixel coords; weights: (..., N). Returns (..., 3, 3)
+    with ``|F|_F = 1``.
+    """
+    T1 = normalization_transform(p1, weights)
+    T2 = normalization_transform(p2, weights)
+    q1 = _apply_transform2d(T1, p1)
+    q2 = _apply_transform2d(T2, p2)
+    F1, F2 = _solve_epipolar_span(q1, q2, weights)
+    cands = _span_candidates(F1, F2)                      # (..., 5, 3, 3)
+    cands = _project_rank2(cands)
+    cands = jnp.swapaxes(T2, -1, -2)[..., None, :, :] @ cands @ T1[..., None, :, :]
+    norm = jnp.linalg.norm(cands, axis=(-2, -1), keepdims=True)
+    cands = cands / jnp.maximum(norm, jnp.finfo(p1.dtype).tiny)
+    ones = jnp.ones_like(p1[..., :1])
+    h1 = jnp.concatenate([p1, ones], axis=-1)
+    h2 = jnp.concatenate([p2, ones], axis=-1)
+    err = sampson_error(cands, h1[..., None, :, :], h2[..., None, :, :])
+    return _pick_best(cands, err, weights)
+
+
+def find_essential_matrix(r1: Array, r2: Array, weights: Array) -> Array:
+    """Essential matrix from *ideal-camera* rays, batched, degeneracy-robust.
+
+    Same null-span + det-cubic search as :func:`find_fundamental_matrix`
+    (ideal coordinates are already conditioned, so no Hartley transform),
+    with the essential structure imposed on every candidate before scoring.
+    Handles the reference's own cube rig, which is degenerate for the plain
+    8-point solve (2-dimensional DLT null space) — the reference leans on
+    OpenCV's 5-point solver there (``vision/sfm-solve.cpp:51-60``).
+
+    r1, r2: (..., N, 3) homogeneous rays with last coord 1 (or (..., N, 2)).
+    Returns (..., 3, 3) with ``|E|_F = 1``.
+    """
+    p1 = r1[..., :2]
+    p2 = r2[..., :2]
+    E1, E2 = _solve_epipolar_span(p1, p2, weights)
+    cands = _span_candidates(E1, E2)                      # (..., 5, 3, 3)
+    cands = _project_essential(cands)
+    ones = jnp.ones_like(p1[..., :1])
+    h1 = jnp.concatenate([p1, ones], axis=-1)
+    h2 = jnp.concatenate([p2, ones], axis=-1)
+    err = sampson_error(cands, h1[..., None, :, :], h2[..., None, :, :])
+    return _pick_best(cands, err, weights)
 
 
 def epipolar_residual(E: Array, r1: Array, r2: Array) -> Array:

@@ -1,0 +1,114 @@
+"""Vectorized RANSAC: all hypotheses as one batched XLA computation.
+
+The reference iterates hypotheses sequentially with early state
+(``vision/estimator-RANSAC.cpp:16-90`` — and its sampling shuffle is even
+disabled, ``:41-42``). The TPU-native design draws every minimal sample
+up-front with ``jax.random`` (Gumbel top-k over the validity mask gives
+distinct valid indices per hypothesis), solves all hypotheses in one batched
+minimal solve, scores all hypotheses against all points in one pass, and
+selects the best by (inlier count, then total residual) — the reference's
+acceptance ordering (``estimator-RANSAC.cpp:75-84``) — with a masked argmax.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mvslam_tpu.ops import epipolar
+
+Array = jax.Array
+
+
+def sample_minimal_sets(key: Array, mask: Array, num_sets: int, k: int) -> Array:
+    """Draw ``num_sets`` index sets of ``k`` distinct valid points.
+
+    Gumbel-top-k trick: per hypothesis, take the k largest of N iid uniforms
+    with invalid entries pinned to -inf. Requires >= k valid points; with
+    fewer, invalid indices appear and the caller's scoring mask handles it.
+
+    Returns int32 (num_sets, k).
+    """
+    n = mask.shape[-1]
+    g = jax.random.uniform(key, (num_sets, n))
+    g = jnp.where(mask[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(g, k)
+    return idx
+
+
+class RansacResult(NamedTuple):
+    model: Array          # best model parameters
+    inlier_mask: Array    # (N,) bool — inliers of the best model
+    num_inliers: Array    # scalar int32
+    residuals: Array      # (N,) per-point residuals under the best model
+
+
+def _select_best(errors: Array, mask: Array, threshold_sq) -> tuple[Array, Array, Array]:
+    """errors: (H, N) -> (best_index, inlier_mask (H,N), counts (H,))."""
+    inl = jnp.logical_and(errors < threshold_sq, mask[None, :])
+    counts = jnp.sum(inl, axis=-1)
+    err_sum = jnp.sum(jnp.where(inl, errors, 0.0), axis=-1)
+    # lexicographic (max count, min error-sum): counts step by >= 1 while the
+    # inlier error sum is bounded by N * threshold_sq << 1 for any sane
+    # threshold, so a single float score implements the reference ordering.
+    score = counts.astype(errors.dtype) - err_sum / (
+        1.0 + errors.shape[-1] * threshold_sq
+    )
+    best = jnp.argmax(score)
+    return best, inl, counts
+
+
+def essential_ransac(
+    r1: Array,
+    r2: Array,
+    mask: Array,
+    key: Array,
+    num_hypotheses: int = 256,
+    threshold_sq: float = 5e-2,
+    refit: bool = True,
+    error_fn: Callable[[Array, Array, Array], Array] | None = None,
+) -> RansacResult:
+    """Essential matrix from ideal-camera rays by batched 8-point RANSAC.
+
+    r1, r2: (N, 3) homogeneous rays; mask: (N,) validity.
+    ``threshold_sq`` is in squared ideal-plane units — the reference uses
+    ``5e-2 / (fx * fy)`` (``vision/sfm-solve.cpp:18-23,56-60``).
+    ``error_fn(E, r1, r2)`` defaults to the squared Sampson error.
+
+    The final model is re-fit on the best hypothesis's inliers (weighted
+    8-point over all of them) unless ``refit=False``.
+    """
+    if error_fn is None:
+        def error_fn(E, a, b):
+            return epipolar.sampson_error(E, a, b)
+
+    idx = sample_minimal_sets(key, mask, num_hypotheses, 8)  # (H, 8)
+    s1 = r1[idx]  # (H, 8, 3)
+    s2 = r2[idx]
+    w = jnp.ones(idx.shape, dtype=r1.dtype)
+    Es = epipolar.find_essential_matrix(s1, s2, w)  # (H, 3, 3)
+    errors = error_fn(Es, r1[None], r2[None])  # (H, N)
+    best, inl, _ = _select_best(errors, mask, threshold_sq)
+    E = Es[best]
+    best_inl = inl[best]
+
+    if refit:
+        E_fit = epipolar.find_essential_matrix(
+            r1, r2, best_inl.astype(r1.dtype)
+        )
+        err_fit = error_fn(E_fit, r1, r2)
+        inl_fit = jnp.logical_and(err_fit < threshold_sq, mask)
+        # keep the refit only if it does not lose inliers
+        better = jnp.sum(inl_fit) >= jnp.sum(best_inl)
+        E = jnp.where(better, E_fit, E)
+        best_inl = jnp.where(better, inl_fit, best_inl)
+
+    res = error_fn(E, r1, r2)
+    return RansacResult(
+        model=E,
+        inlier_mask=best_inl,
+        num_inliers=jnp.sum(best_inl).astype(jnp.int32),
+        residuals=res,
+    )
