@@ -1,0 +1,3 @@
+from mvslam_tpu.backend.graph import Graph as Graph  # noqa: F401
+from mvslam_tpu.backend.graph import GraphOptimizer as GraphOptimizer  # noqa: F401
+from mvslam_tpu.backend import pose_graph as pose_graph  # noqa: F401

@@ -95,7 +95,6 @@ def so3_log(R: Array) -> Array:
     dtype = R.dtype
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip(0.5 * (trace - 1.0), -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     v = jnp.stack(
         [R[..., 2, 1] - R[..., 1, 2],
          R[..., 0, 2] - R[..., 2, 0],
@@ -103,16 +102,26 @@ def so3_log(R: Array) -> Array:
         axis=-1,
     )
     thr = config.taylor_threshold(dtype)
-    small = theta < thr
-    safe_theta = jnp.where(small, jnp.ones_like(theta), theta)
-    sin_theta = jnp.sin(safe_theta)
-    # guard sin(theta) ~ 0 away from 0 (theta ~ pi): fall back to a clamped value
+    small = cos_theta > jnp.cos(jnp.asarray(thr, dtype))
+    # Differentiability: arccos has an infinite derivative at +-1, and a NaN
+    # there leaks through jnp.where in reverse/forward mode (the classic
+    # where-grad trap). Feed arccos a guarded input and use a differentiable
+    # theta^2 surrogate |v|^2/4 ~ sin^2(theta) in the Taylor branch, so BA /
+    # pose-graph Jacobians of near-identity residuals are exact and finite.
+    t2_small = 0.25 * jnp.sum(v * v, axis=-1)
+    safe_cos = jnp.where(small, jnp.zeros_like(cos_theta), cos_theta)
+    theta = jnp.arccos(safe_cos)
+    sin_theta = jnp.sin(theta)
+    # guard sin(theta) ~ 0 away from 0 (theta ~ pi; like the reference, log
+    # loses precision there)
     sin_theta = jnp.where(
         jnp.abs(sin_theta) < config.epsilon(dtype),
         jnp.full_like(sin_theta, config.epsilon(dtype)),
         sin_theta,
     )
-    A = jnp.where(small, (1.0 + theta * theta / 6.0) * 0.5, 0.5 * safe_theta / sin_theta)
+    A = jnp.where(
+        small, (1.0 + t2_small / 6.0) * 0.5, 0.5 * theta / sin_theta
+    )
     return v * A[..., None]
 
 

@@ -95,11 +95,20 @@ def essential_ransac(
     best_inl = inl[best]
 
     if refit:
-        E_fit = epipolar.find_essential_matrix(
-            r1, r2, best_inl.astype(r1.dtype)
-        )
-        err_fit = error_fn(E_fit, r1, r2)
-        inl_fit = jnp.logical_and(err_fit < threshold_sq, mask)
+        # IRLS refit: the plain algebraic LS is biased under noise; weighting
+        # each DLT row by the inverse Sampson denominator makes the algebraic
+        # cost first-order equivalent to the geometric one. Two reweighted
+        # rounds recover most of the gold-standard accuracy at the cost of
+        # two more batched 9x9 eigendecompositions.
+        E_fit = E
+        inl_fit = best_inl
+        for _ in range(1 + 2):
+            w_geo = jnp.sqrt(
+                epipolar.sampson_weights(E_fit, r1, r2)
+            ) * inl_fit.astype(r1.dtype)
+            E_fit = epipolar.find_essential_matrix(r1, r2, w_geo)
+            err_fit = error_fn(E_fit, r1, r2)
+            inl_fit = jnp.logical_and(err_fit < threshold_sq, mask)
         # keep the refit only if it does not lose inliers
         better = jnp.sum(inl_fit) >= jnp.sum(best_inl)
         E = jnp.where(better, E_fit, E)
