@@ -99,6 +99,11 @@ class OrbParams(NamedTuple):
     num_levels: int = 8
     scale_factor: float = 1.2
     border: int = PATCH_RADIUS + 4         # keep descriptor patches inside
+    # Harris-surface sub-pixel localization. Off by default: integer anchors
+    # are deterministic across frames (what keeps pixel-aligned synthetic
+    # data like tsukuba noise-free), and geometric accuracy comes from the
+    # KLT refinement stage instead (ops/klt.py).
+    subpixel: bool = False
 
 
 def _shift2d(img: Array, dx: int, dy: int) -> Array:
@@ -294,8 +299,30 @@ def orb_detect(img: Array, params: OrbParams = OrbParams()) -> FeatureSet:
         ys = (idx // w).astype(dtype)
         xs = (idx % w).astype(dtype)
         valid = jnp.isfinite(vals)
-        xy_level = jnp.stack([xs, ys], axis=-1)
-        patches = _extract_patches(level_img, xy_level, PATCH_RADIUS + 2)
+        xy_int = jnp.stack([xs, ys], axis=-1)
+        if params.subpixel:
+            # 1D quadratic fits on the Harris surface around each maximum
+            nbhd = _extract_patches(harris, xy_int, 1)          # (k_l, 3, 3)
+
+            def parab(sm, s0, sp):
+                # trust the fit only where the center is a true 1D maximum
+                # (rank maximizes Harris *among FAST corners*, so a plain
+                # neighbor can be larger — fitting uphill just clamps)
+                denom = 2.0 * (2.0 * s0 - sm - sp)
+                off = (sp - sm) / jnp.where(
+                    jnp.abs(denom) < jnp.finfo(dtype).eps, 1.0, denom
+                )
+                is_max = jnp.logical_and(s0 >= sm, s0 >= sp)
+                return jnp.where(is_max, jnp.clip(off, -0.5, 0.5), 0.0)
+
+            dx = parab(nbhd[:, 1, 0], nbhd[:, 1, 1], nbhd[:, 1, 2])
+            dy = parab(nbhd[:, 0, 1], nbhd[:, 1, 1], nbhd[:, 2, 1])
+            xy_level = xy_int + jnp.stack([dx, dy], axis=-1)
+        else:
+            xy_level = xy_int
+        # descriptors sample at the stable integer position; the subpixel
+        # coordinate is for geometry only
+        patches = _extract_patches(level_img, xy_int, PATCH_RADIUS + 2)
         angles = _orientation(patches)
         smooth = jax.vmap(lambda p: _box_sum(p, 2) / 25.0)(patches)
         desc = _descriptors(smooth, angles)
