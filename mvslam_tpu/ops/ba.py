@@ -170,26 +170,37 @@ def _prior_residuals(poses: SE3, points: Array, prob: BAProblem):
     return r_pose, r_point
 
 
-def _cost(poses: SE3, points: Array, prob: BAProblem) -> Array:
+def _psum(x, axis_name):
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def _cost(poses: SE3, points: Array, prob: BAProblem,
+          axis_name: str | None = None) -> Array:
+    """Total cost. Under ``shard_map`` with landmark-sharded problems, the
+    observation and point-prior terms are local sums psum'd across the mesh;
+    the pose-prior term is replicated and added once."""
     r, _, _ = _projection_residuals(poses, points, prob)
     rp, rx = _prior_residuals(poses, points, prob)
     c_obs = 0.5 * jnp.sum(r * r)
-    c_pose = 0.5 * jnp.sum(rp * jnp.einsum("fij,fj->fi", prob.pose_prior_info, rp))
     c_point = 0.5 * jnp.sum(rx * jnp.einsum("pij,pj->pi", prob.point_prior_info, rx))
-    return c_obs + c_pose + c_point
+    c_pose = 0.5 * jnp.sum(rp * jnp.einsum("fij,fj->fi", prob.pose_prior_info, rp))
+    return _psum(c_obs + c_point, axis_name) + c_pose
 
 
-def _normal_equations(poses: SE3, points: Array, prob: BAProblem):
+def _normal_equations(poses: SE3, points: Array, prob: BAProblem,
+                      axis_name: str | None = None):
     """Assemble the block normal equations.
 
     Returns (Hcc (F,6,6), Hpp (P,3,3), Hcp (F,P,6,3), bc (F,6), bp (P,3)).
-    ``b = -J^T r``.
+    ``b = -J^T r``. Under a mesh axis, the pose blocks (Hcc, bc) are summed
+    over landmark shards with psum; Hpp/Hcp/bp stay local to the shard.
+    Pose priors (replicated) are added after the reduction.
     """
     r, Jc, Jp = _projection_residuals(poses, points, prob)
-    Hcc = jnp.einsum("fpki,fpkj->fij", Jc, Jc)
+    Hcc = _psum(jnp.einsum("fpki,fpkj->fij", Jc, Jc), axis_name)
     Hpp = jnp.einsum("fpki,fpkj->pij", Jp, Jp)
     Hcp = jnp.einsum("fpki,fpkj->fpij", Jc, Jp)
-    bc = -jnp.einsum("fpki,fpk->fi", Jc, r)
+    bc = _psum(-jnp.einsum("fpki,fpk->fi", Jc, r), axis_name)
     bp = -jnp.einsum("fpki,fpk->pi", Jp, r)
     # priors
     rp, rx = _prior_residuals(poses, points, prob)
@@ -200,13 +211,15 @@ def _normal_equations(poses: SE3, points: Array, prob: BAProblem):
     return Hcc, Hpp, Hcp, bc, bp
 
 
-def _schur_solve(Hcc, Hpp, Hcp, bc, bp, lam, dtype):
+def _schur_solve(Hcc, Hpp, Hcp, bc, bp, lam, dtype,
+                 axis_name: str | None = None):
     """Damped Schur-complement solve -> (delta_c (F,6), delta_p (P,3)).
 
-    Landmark block is eliminated with batched closed-form 3x3 inverses;
-    the reduced 6F x 6F camera system is dense Cholesky (F is the window
-    size — small; the distributed path shards this assembly, see
-    ``mvslam_tpu.parallel``).
+    Landmark blocks are eliminated with batched closed-form 3x3 inverses —
+    embarrassingly parallel across landmark shards. The reduced 6F x 6F
+    camera system is assembled with one psum over the mesh (this is the
+    Schur reduce of SURVEY §7) and solved replicated by dense Cholesky;
+    back-substitution of the landmark deltas is shard-local again.
     """
     F = Hcc.shape[0]
     P = Hpp.shape[0]
@@ -217,10 +230,12 @@ def _schur_solve(Hcc, Hpp, Hcp, bc, bp, lam, dtype):
     Hpp_inv = linalg.inv3x3(Hpp_d)                               # (P, 3, 3)
     # S_{f g} = delta_fg Hcc_f - sum_p Hcp_{f p} Hpp_p^-1 Hcp_{g p}^T
     W = jnp.einsum("fpij,pjk->fpik", Hcp, Hpp_inv)               # (F, P, 6, 3)
-    S_off = jnp.einsum("fpik,gpjk->fgij", W, Hcp)                # (F, F, 6, 6)
+    S_off = _psum(
+        jnp.einsum("fpik,gpjk->fgij", W, Hcp), axis_name
+    )                                                            # (F, F, 6, 6)
     S = -S_off
     S = S.at[jnp.arange(F), jnp.arange(F)].add(Hcc_d)
-    rhs = bc - jnp.einsum("fpik,pk->fi", W, bp)                  # (F, 6)
+    rhs = bc - _psum(jnp.einsum("fpik,pk->fi", W, bp), axis_name)  # (F, 6)
     S_flat = S.transpose(0, 2, 1, 3).reshape(6 * F, 6 * F)
     rhs_flat = rhs.reshape(6 * F)
     # tiny diagonal jitter keeps Cholesky finite if a pose is unconstrained
@@ -249,21 +264,31 @@ def _retract(poses: SE3, points: Array, delta_c: Array, delta_p: Array):
 
 
 def ba_solve(
-    prob: BAProblem, params: BAParams = BAParams()
+    prob: BAProblem,
+    params: BAParams = BAParams(),
+    axis_name: str | None = None,
 ) -> BAResult:
     """LM bundle adjustment (reference ``ba_frame_pose_and_point``,
-    ``vision/ba.cpp:26-156``)."""
+    ``vision/ba.cpp:26-156``).
+
+    ``axis_name``: when called inside ``shard_map`` with the landmark axis
+    of ``prob`` sharded over that mesh axis (poses/pose-priors replicated),
+    the same code runs the distributed Schur-complement LM — all cross-
+    shard coupling goes through psums of 6Fx6F-sized blocks over ICI.
+    """
     dtype = prob.points0.dtype
 
     def lm_step(state):
         poses_R, poses_t, points, lam, cost, it, done = state
         poses = SE3(poses_R, poses_t)
-        Hcc, Hpp, Hcp, bc, bp = _normal_equations(poses, points, prob)
+        Hcc, Hpp, Hcp, bc, bp = _normal_equations(
+            poses, points, prob, axis_name
+        )
         delta_c, delta_p, _, _, _ = _schur_solve(
-            Hcc, Hpp, Hcp, bc, bp, lam, dtype
+            Hcc, Hpp, Hcp, bc, bp, lam, dtype, axis_name
         )
         new_poses, new_points = _retract(poses, points, delta_c, delta_p)
-        new_cost = _cost(new_poses, new_points, prob)
+        new_cost = _cost(new_poses, new_points, prob, axis_name)
         accept = jnp.logical_and(jnp.isfinite(new_cost), new_cost < cost)
         # damping schedule
         lam = jnp.clip(
@@ -292,7 +317,7 @@ def ba_solve(
         *_, it, done = state
         return jnp.logical_and(it < params.max_iterations, jnp.logical_not(done))
 
-    cost0 = _cost(prob.poses0, prob.points0, prob)
+    cost0 = _cost(prob.poses0, prob.points0, prob, axis_name)
     state0 = (
         prob.poses0.R,
         prob.poses0.t,
@@ -308,9 +333,9 @@ def ba_solve(
     poses = SE3(poses_R, poses_t)
 
     # marginal covariances at the solution (lambda = 0)
-    Hcc, Hpp, Hcp, bc, bp = _normal_equations(poses, points, prob)
+    Hcc, Hpp, Hcp, bc, bp = _normal_equations(poses, points, prob, axis_name)
     _, _, S_flat, Hpp_inv, W = _schur_solve(
-        Hcc, Hpp, Hcp, bc, bp, jnp.asarray(0.0, dtype), dtype
+        Hcc, Hpp, Hcp, bc, bp, jnp.asarray(0.0, dtype), dtype, axis_name
     )
     F = Hcc.shape[0]
     jitter = jnp.asarray(jnp.finfo(dtype).eps, dtype) * (
