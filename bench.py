@@ -35,43 +35,52 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_sequence(fm_cls, vo_cls, cam, images, orb_params):
-    fm = fm_cls(camera=cam, orb_params=orb_params)
-    vo = vo_cls()
-    tracked = 0
-    for i, img in enumerate(images):
-        res = vo.add_frame(fm.add_frame(0.1 * (i + 1), img))
-        tracked += bool(res.success)
-    return tracked, vo
-
-
 def main() -> None:
-    from mvslam_tpu.frontend import FrameManager, VisualOdometer
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mvslam_tpu.frontend.vo_jit import (
+        VoJitParams, make_vo_step, vo_init_state,
+    )
     from mvslam_tpu.io import load_image_grayscale
     from mvslam_tpu.ops.camera import PinholeCamera
-    from mvslam_tpu.ops.features import OrbParams
 
     log(f"devices: {jax.devices()}")
     cam = PinholeCamera.load_from_file(f"{TSUKUBA}/camera.config")
-    images = [load_image_grayscale(f"{TSUKUBA}/{i}.jpg") for i in range(1, 6)]
-    orb = OrbParams()
+    K_inv = jnp.asarray(np.linalg.inv(np.asarray(cam.K)), jnp.float32)
+    focal = jnp.asarray(350.0, jnp.float32)
+    images = [
+        jax.device_put(load_image_grayscale(f"{TSUKUBA}/{i}.jpg"))
+        for i in range(1, 6)
+    ]
+    params = VoJitParams()
+    step = make_vo_step(params)
 
-    # warmup: compiles every kernel in the pipeline (cached across runs)
+    def run_sequence():
+        state = vo_init_state(params)
+        for img in images:
+            state, out = step(state, img, K_inv, focal)
+        jax.block_until_ready(state.pose_t)
+        return state
+
+    # warmup: compiles the fused step (persistent-cached across runs)
     t0 = time.time()
-    tracked, _ = run_sequence(FrameManager, VisualOdometer, cam, images, orb)
-    log(f"warmup pass: {time.time() - t0:.1f}s, tracked {tracked}/5")
+    state = run_sequence()
+    log(f"warmup pass: {time.time() - t0:.1f}s, "
+        f"tracked {int(state.frame_tracked)}/5")
 
     # timed passes over the full 5-frame pipeline (bootstrap + tracking)
-    passes = 3
+    passes = 10
     n_frames = 0
     t0 = time.time()
     for _ in range(passes):
-        tracked, vo = run_sequence(FrameManager, VisualOdometer, cam, images, orb)
+        state = run_sequence()
         n_frames += len(images)
     elapsed = time.time() - t0
     fps = n_frames / elapsed
     log(f"timed: {n_frames} frames in {elapsed:.2f}s, "
-        f"tracked {tracked}/5 last pass, map {vo.num_tracked_points}")
+        f"tracked {int(state.frame_tracked)}/5 last pass, "
+        f"map {int(state.map_valid.sum())}")
 
     print(json.dumps({
         "metric": "tsukuba_frames_per_s",

@@ -147,6 +147,8 @@ class VisualOdometer:
         self._step = 0
         self.frame_total = 0
         self.frame_tracked = 0
+        #: [(frame_id, capture_time, SE3 camera pose)] of successful frames
+        self.trajectory: List[tuple] = []
 
     # -- public API -----------------------------------------------------------
     def add_frame(self, frame: Frame) -> TrackResult:
@@ -160,6 +162,9 @@ class VisualOdometer:
                 self.reset(keep_frame=frame)
         if res.success:
             self.frame_tracked += 1
+            self.trajectory.append(
+                (frame.id, frame.capture_time, self._last_pose)
+            )
         return res
 
     def reset(self, keep_frame: Optional[Frame] = None) -> None:

@@ -1,0 +1,531 @@
+"""Fully-fused on-device visual odometry: ``step(state, image) -> state'``.
+
+The TPU-first inversion of the reference's mutex-guarded object
+(``front-end/visual-odometer.{hpp,cpp}``) and of our own host-orchestrated
+:class:`mvslam_tpu.frontend.visual_odometer.VisualOdometer`: the ENTIRE
+per-frame pipeline — ORB pyramid, descriptor matching, KLT refinement,
+RANSAC, triangulation, two-frame bundle adjustment, map update, mode
+switching — is one jitted computation over a fixed-shape array state. One
+dispatch per frame instead of ~8, no host round-trips inside a frame (the
+host VisualOdometer costs ~2 s/frame through a remote-TPU tunnel; this path
+is latency-bound by a single transfer).
+
+State machine (reference INITIALIZING/TRACKING, ``visual-odometer.hpp:
+89-93``) as ``lax.switch`` over three modes:
+
+- 0 EMPTY: record the frame, wait for a second one;
+- 1 INITIALIZING: two-view bootstrap against the previous frame with the
+  reference's quality gates (consecutive-pair window; the host class also
+  supports the deeper frame queue);
+- 2 TRACKING: map association -> KLT -> PnP-RANSAC -> triangulate new
+  points -> anchored two-frame BA -> gated commit, or reset to mode 1.
+
+Capacity conventions: K features/frame, M map points, BA over
+(BA_OLD + BA_NEW) points per step — all static.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mvslam_tpu.math.lie import SE3
+from mvslam_tpu.ops import ba as ba_mod
+from mvslam_tpu.ops import klt, matching, pnp, sfm
+from mvslam_tpu.ops.features import OrbParams, orb_detect
+
+Array = jax.Array
+
+MODE_EMPTY = 0
+MODE_INITIALIZING = 1
+MODE_TRACKING = 2
+
+
+class VoJitParams(NamedTuple):
+    """Static configuration (hashable; goes into the jit cache key)."""
+
+    orb: OrbParams = OrbParams()
+    map_capacity: int = 1024
+    ba_old: int = 384            # map points per BA
+    ba_new: int = 128            # fresh triangulations per BA
+    max_match_distance: int = 64
+    ransac_hypotheses: int = 256
+    max_error_sq: float = sfm.MAX_ERROR_SQ       # pixel-ish; / focal^2
+    klt_sigma_px: float = 0.25
+    min_pair_inliers: int = 20
+    max_pair_mean_error: float = 9.0
+    max_pair_rotation: float = 0.1
+    max_pair_z_translation: float = 0.1
+    min_track_inliers: int = 7
+    pnp_reproj_px: float = 2.0
+    max_track_mean_error: float = 9.0
+    map_point_stddev: float = 0.05
+    ba_iterations: int = 25
+    pnp_hypotheses: int = 256
+
+
+class VoJitState(NamedTuple):
+    """The whole tracker as fixed-shape device arrays (a pytree)."""
+
+    mode: Array                 # () int32
+    step: Array                 # () int32
+    key: Array                  # PRNG key
+    pose_R: Array               # (3, 3) last camera-to-world
+    pose_t: Array               # (3,)
+    # map
+    map_pos: Array              # (M, 3)
+    map_desc: Array             # (M, 8) uint32
+    map_tmpl: Array             # (M, W, W)
+    map_valid: Array            # (M,) bool
+    map_seen: Array             # (M,) int32
+    # last frame
+    lf_xy: Array                # (K, 2)
+    lf_desc: Array              # (K, 8) uint32
+    lf_mask: Array              # (K,) bool
+    lf_rays: Array              # (K, 3)
+    lf_sigma: Array             # (K,)
+    lf_tmpl: Array              # (K, W, W)
+    lf_obs_rays: Array          # (K, 3) refined observations
+    lf_obs_sigma: Array         # (K,)
+    lf_assoc: Array             # (K,) int32 feature -> map slot (-1 none)
+    # stats
+    frame_total: Array          # () int32
+    frame_tracked: Array        # () int32
+
+
+class VoStepOut(NamedTuple):
+    success: Array              # () bool
+    mode: Array                 # () int32 (after the step)
+    pose_R: Array
+    pose_t: Array
+    num_inliers: Array          # () int32
+    mean_error: Array           # () float32
+
+
+def vo_init_state(params: VoJitParams, dtype=jnp.float32,
+                  seed: int = 0) -> VoJitState:
+    K = params.orb.max_features
+    M = params.map_capacity
+    W = klt.WINDOW
+    return VoJitState(
+        mode=jnp.asarray(MODE_EMPTY, jnp.int32),
+        step=jnp.asarray(0, jnp.int32),
+        key=jax.random.PRNGKey(seed),
+        pose_R=jnp.eye(3, dtype=dtype),
+        pose_t=jnp.zeros(3, dtype),
+        map_pos=jnp.zeros((M, 3), dtype),
+        map_desc=jnp.zeros((M, 8), jnp.uint32),
+        map_tmpl=jnp.zeros((M, W, W), dtype),
+        map_valid=jnp.zeros(M, bool),
+        map_seen=jnp.full(M, -1, jnp.int32),
+        lf_xy=jnp.zeros((K, 2), dtype),
+        lf_desc=jnp.zeros((K, 8), jnp.uint32),
+        lf_mask=jnp.zeros(K, bool),
+        lf_rays=jnp.zeros((K, 3), dtype),
+        lf_sigma=jnp.ones(K, dtype),
+        lf_tmpl=jnp.zeros((K, W, W), dtype),
+        lf_obs_rays=jnp.zeros((K, 3), dtype),
+        lf_obs_sigma=jnp.ones(K, dtype),
+        lf_assoc=jnp.full(K, -1, jnp.int32),
+        frame_total=jnp.asarray(0, jnp.int32),
+        frame_tracked=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _masked_take(mask: Array, cap: int):
+    """First ``cap`` true positions: (idx (cap,), valid (cap,))."""
+    order = jnp.argsort(jnp.logical_not(mask), stable=True)
+    idx = order[:cap]
+    return idx, mask[idx]
+
+
+def _allocate_slots(map_valid: Array, map_seen: Array, n: int) -> Array:
+    """n slots: free ones first, then least-recently-seen."""
+    keys = jnp.where(map_valid, map_seen, jnp.iinfo(jnp.int32).min)
+    return jnp.argsort(keys)[:n]
+
+
+class _FrameArrays(NamedTuple):
+    xy: Array
+    desc: Array
+    mask: Array
+    rays: Array
+    sigma: Array
+    tmpl: Array
+
+
+def _store_frame(state: VoJitState, f: _FrameArrays,
+                 obs_rays=None, obs_sigma=None, assoc=None) -> VoJitState:
+    K = f.xy.shape[0]
+    return state._replace(
+        lf_xy=f.xy, lf_desc=f.desc, lf_mask=f.mask, lf_rays=f.rays,
+        lf_sigma=f.sigma, lf_tmpl=f.tmpl,
+        lf_obs_rays=f.rays if obs_rays is None else obs_rays,
+        lf_obs_sigma=f.sigma if obs_sigma is None else obs_sigma,
+        lf_assoc=jnp.full(K, -1, jnp.int32) if assoc is None else assoc,
+    )
+
+
+def make_vo_step(params: VoJitParams = VoJitParams()):
+    """Build the jitted ``step(state, image, K_mat, K_inv, focal)``."""
+    p = params
+    K_feat = p.orb.max_features
+    M = p.map_capacity
+
+    def reprojection_sq_threshold(focal):
+        thr = p.pnp_reproj_px / focal
+        return thr * thr
+
+    # ---- shared per-frame preprocessing -----------------------------------
+    def preprocess(image, K_inv, focal):
+        feats = orb_detect(image, p.orb)
+        ones = jnp.ones_like(feats.xy[..., :1])
+        xyh = jnp.concatenate([feats.xy, ones], axis=-1)
+        rays = xyh @ K_inv.T
+        smooth = klt.smooth_image(image)
+        tmpl = klt.extract_templates(smooth, feats.xy)
+        sigma = feats.sigma / focal
+        return _FrameArrays(feats.xy, feats.desc, feats.mask, rays,
+                            sigma, tmpl), smooth
+
+    # ---- mode 0: first frame ---------------------------------------------
+    def do_empty(state, f, smooth, K_inv, focal):
+        new_state = _store_frame(state, f)._replace(
+            mode=jnp.asarray(MODE_INITIALIZING, jnp.int32)
+        )
+        out = VoStepOut(
+            success=jnp.asarray(False),
+            mode=new_state.mode,
+            pose_R=state.pose_R, pose_t=state.pose_t,
+            num_inliers=jnp.asarray(0, jnp.int32),
+            mean_error=jnp.asarray(jnp.inf, state.pose_t.dtype),
+        )
+        return new_state, out
+
+    # ---- mode 1: bootstrap vs previous frame ------------------------------
+    def do_init(state, f, smooth, K_inv, focal):
+        dtype = state.pose_t.dtype
+        key, k1 = jax.random.split(state.key)
+        m = matching.match_features(
+            state.lf_desc, state.lf_mask, f.desc, f.mask,
+            max_distance=p.max_match_distance,
+        )
+        kr = klt.klt_track(state.lf_tmpl, smooth, f.xy[m.idx], m.mask)
+        ones = jnp.ones_like(kr.xy[..., :1])
+        r2 = jnp.concatenate([kr.xy, ones], axis=-1) @ K_inv.T
+        obs_sigma = jnp.where(
+            kr.valid, p.klt_sigma_px / focal, state.lf_sigma
+        )
+        # the RANSAC threshold is focal-scaled and ``focal`` is traced, so
+        # call the solver pieces directly instead of the static SfmParams
+        from mvslam_tpu.ops import ransac as ransac_mod
+
+        thr_sq = p.max_error_sq / (focal * focal)
+        rr = ransac_mod.essential_ransac(
+            state.lf_rays, r2, m.mask, k1,
+            num_hypotheses=p.ransac_hypotheses,
+            threshold_sq=thr_sq,
+        )
+        pose2in1, points, point_mask = sfm.recover_pose_and_points(
+            rr.model, state.lf_rays, r2, rr.inlier_mask
+        )
+        from mvslam_tpu.ops import epipolar
+
+        pose2in1 = epipolar.refine_relative_pose_sampson(
+            pose2in1, state.lf_rays, r2, rr.inlier_mask.astype(dtype)
+        )
+        points, point_mask = sfm.sfm_triangulate(
+            state.lf_rays, r2, rr.inlier_mask, pose2in1
+        )
+        ref = sfm.sfm_refine(
+            state.lf_rays, r2, point_mask, pose2in1, points,
+            obs_stddev=obs_sigma, gauge="scale_only",
+            ba_params=ba_mod.BAParams(max_iterations=p.ba_iterations),
+        )
+        n_obs = jnp.maximum(2 * jnp.sum(point_mask), 1)
+        mean_err = 2.0 * ref.error / n_obs.astype(dtype)
+        T = ref.pose2in1
+        w_rot = jnp.max(jnp.abs(T.log()[3:]))
+        t_norm = jnp.maximum(jnp.linalg.norm(T.t), 1e-9)
+        tz = jnp.abs(T.t[2]) / t_norm
+        n_inl = rr.num_inliers
+        ok = (
+            (n_inl >= p.min_pair_inliers)
+            & (mean_err <= p.max_pair_mean_error)
+            & (w_rot <= p.max_pair_rotation)
+            & (tz <= p.max_pair_z_translation)
+            & ref.converged
+        )
+
+        def accept(_):
+            # seed map: slot i <- base feature i (masked)
+            slots = jnp.arange(K_feat)
+            map_pos = jnp.zeros((M, 3), dtype).at[slots].set(
+                ref.points.astype(dtype)
+            )
+            map_desc = jnp.zeros((M, 8), jnp.uint32).at[slots].set(
+                state.lf_desc
+            )
+            map_tmpl = jnp.zeros((M,) + state.lf_tmpl.shape[1:], dtype).at[
+                slots
+            ].set(state.lf_tmpl)
+            map_valid = jnp.zeros(M, bool).at[slots].set(point_mask)
+            map_seen = jnp.full(M, -1, jnp.int32).at[slots].set(
+                jnp.where(point_mask, state.step, -1)
+            )
+            # association for the NEW frame: feature m.idx[i] -> slot i
+            write_to = jnp.where(point_mask, m.idx, K_feat)  # drop masked
+            assoc = jnp.full(K_feat, -1, jnp.int32).at[write_to].set(
+                jnp.where(point_mask, slots, -1), mode="drop"
+            )
+            obs_rays = jnp.zeros((K_feat, 3), dtype).at[write_to].set(
+                r2, mode="drop"
+            )
+            obs_rays = jnp.where(
+                (assoc >= 0)[:, None], obs_rays, f.rays
+            )
+            obs_sig = jnp.full((K_feat,), 1.0, dtype).at[write_to].set(
+                obs_sigma, mode="drop"
+            )
+            obs_sig = jnp.where(assoc >= 0, obs_sig, f.sigma)
+            ns = _store_frame(
+                state, f, obs_rays=obs_rays, obs_sigma=obs_sig, assoc=assoc
+            )._replace(
+                mode=jnp.asarray(MODE_TRACKING, jnp.int32),
+                pose_R=T.R.astype(dtype), pose_t=T.t.astype(dtype),
+                map_pos=map_pos, map_desc=map_desc, map_tmpl=map_tmpl,
+                map_valid=map_valid, map_seen=map_seen,
+                frame_tracked=state.frame_tracked + 1,
+            )
+            return ns
+
+        def reject(_):
+            return _store_frame(state, f)  # slide the 1-frame window
+
+        new_state = jax.lax.cond(ok, accept, reject, None)
+        new_state = new_state._replace(key=key)
+        out = VoStepOut(
+            success=ok, mode=new_state.mode,
+            pose_R=new_state.pose_R, pose_t=new_state.pose_t,
+            num_inliers=n_inl, mean_error=mean_err.astype(dtype),
+        )
+        return new_state, out
+
+    # ---- mode 2: tracking --------------------------------------------------
+    def do_track(state, f, smooth, K_inv, focal):
+        dtype = state.pose_t.dtype
+        key, k1 = jax.random.split(state.key)
+        # 1) associate to map + KLT against map templates
+        m = matching.match_features(
+            f.desc, f.mask, state.map_desc, state.map_valid,
+            max_distance=p.max_match_distance,
+        )
+        kr = klt.klt_track(state.map_tmpl[m.idx], smooth, f.xy, m.mask)
+        ones = jnp.ones_like(kr.xy[..., :1])
+        obs_rays = jnp.concatenate([kr.xy, ones], axis=-1) @ K_inv.T
+        obs_sigma = jnp.where(kr.valid, p.klt_sigma_px / focal, f.sigma)
+        map_pts = state.map_pos[m.idx]
+        # 2) PnP-RANSAC (inlined: the reprojection threshold is focal-scaled
+        #    and focal is traced, so PnpParams statics don't fit)
+        thr_sq = reprojection_sq_threshold(focal)
+        from mvslam_tpu.ops import ransac as ransac_mod
+
+        idx6 = ransac_mod.sample_minimal_sets(k1, m.mask, p.pnp_hypotheses, 6)
+        Xs = map_pts[idx6]
+        rs = obs_rays[idx6]
+        w6 = jnp.ones(idx6.shape, dtype)
+        R_raw, t_raw = pnp._pose_dlt(Xs, rs, w6)
+        poses_h = pnp._pose_from_dlt(R_raw, t_raw, Xs, w6)
+        errs = pnp.reprojection_error_sq(
+            SE3(poses_h.R[:, None], poses_h.t[:, None]),
+            map_pts[None], obs_rays[None],
+        )
+        best, inl, _ = ransac_mod._select_best(errs, m.mask, thr_sq)
+        pose0 = SE3(poses_h.R[best], poses_h.t[best])
+        best_inl = inl[best]
+        pose0 = pnp.refine_pose_gn(pose0, map_pts, obs_rays,
+                                   best_inl.astype(dtype))
+        err_p = pnp.reprojection_error_sq(pose0, map_pts, obs_rays)
+        best_inl = jnp.logical_and(err_p < thr_sq, m.mask)
+        n_inl = jnp.sum(best_inl).astype(jnp.int32)
+
+        # 3) triangulate new points vs previous frame
+        lm = matching.match_features(
+            state.lf_desc, state.lf_mask, f.desc, f.mask,
+            max_distance=p.max_match_distance,
+        )
+        new_assoc_of_new_feat = jnp.full(K_feat, -1, jnp.int32).at[
+            jnp.where(m.mask, jnp.arange(K_feat), K_feat)
+        ].set(m.idx.astype(jnp.int32), mode="drop")
+        lm_ok = lm.mask & (new_assoc_of_new_feat[lm.idx] < 0)
+        kr2 = klt.klt_track(state.lf_tmpl, smooth, f.xy[lm.idx], lm_ok)
+        r_new = jnp.concatenate(
+            [kr2.xy, jnp.ones_like(kr2.xy[..., :1])], axis=-1
+        ) @ K_inv.T
+        sig_new = jnp.where(kr2.valid, p.klt_sigma_px / focal,
+                            f.sigma[lm.idx])
+        last_pose = SE3(state.pose_R, state.pose_t)
+        rel = last_pose.inverse().compose(pose0)
+        pts_last, tri_mask = sfm.sfm_triangulate(
+            state.lf_rays, r_new, lm_ok, rel
+        )
+        pts_world = last_pose.apply(pts_last)
+
+        # 4) two-frame BA with fixed capacities
+        old_idx, old_ok = _masked_take(m.mask & best_inl, p.ba_old)
+        new_idx, new_ok = _masked_take(tri_mask, p.ba_new)
+        obs_slots = m.idx[old_idx]                       # map slots
+        # last-frame observation of those slots (reverse assoc)
+        lf_map_to_feat = jnp.full(M, -1, jnp.int32).at[
+            jnp.where(state.lf_assoc >= 0, state.lf_assoc, M)
+        ].set(jnp.arange(K_feat, dtype=jnp.int32), mode="drop")
+        lf_feat = lf_map_to_feat[obs_slots]
+        lf_seen = (lf_feat >= 0) & old_ok
+        cap = p.ba_old + p.ba_new
+        pts0 = jnp.zeros((cap, 3), dtype)
+        pts0 = pts0.at[: p.ba_old].set(state.map_pos[obs_slots])
+        pts0 = pts0.at[p.ba_old :].set(pts_world[new_idx])
+        obs = jnp.zeros((2, cap, 2), dtype)
+        obs_mask_ba = jnp.zeros((2, cap), bool)
+        weight = jnp.ones((2, cap), dtype)
+        # old: new-frame obs
+        obs = obs.at[1, : p.ba_old].set(obs_rays[old_idx, :2])
+        obs_mask_ba = obs_mask_ba.at[1, : p.ba_old].set(old_ok)
+        weight = weight.at[1, : p.ba_old].set(1.0 / obs_sigma[old_idx])
+        # old: last-frame obs
+        safe_lf = jnp.where(lf_feat >= 0, lf_feat, 0)
+        obs = obs.at[0, : p.ba_old].set(state.lf_obs_rays[safe_lf, :2])
+        obs_mask_ba = obs_mask_ba.at[0, : p.ba_old].set(lf_seen)
+        weight = weight.at[0, : p.ba_old].set(
+            1.0 / state.lf_obs_sigma[safe_lf]
+        )
+        # new points: both frames
+        nf = lm.idx[new_idx]                             # new-frame feature
+        obs = obs.at[0, p.ba_old :].set(state.lf_rays[new_idx, :2])
+        obs = obs.at[1, p.ba_old :].set(r_new[new_idx, :2])
+        obs_mask_ba = obs_mask_ba.at[0, p.ba_old :].set(new_ok)
+        obs_mask_ba = obs_mask_ba.at[1, p.ba_old :].set(new_ok)
+        weight = weight.at[0, p.ba_old :].set(focal / p.klt_sigma_px)
+        weight = weight.at[1, p.ba_old :].set(1.0 / sig_new[new_idx])
+
+        point_info = jnp.zeros((cap, 3, 3), dtype)
+        point_info = point_info.at[: p.ba_old].set(
+            jnp.where(
+                old_ok[:, None, None],
+                jnp.eye(3, dtype=dtype) / (p.map_point_stddev**2),
+                0.0,
+            )
+        )
+        poses0 = SE3(
+            jnp.stack([state.pose_R, pose0.R.astype(dtype)]),
+            jnp.stack([state.pose_t, pose0.t.astype(dtype)]),
+        )
+        pose_prior_info = jnp.stack(
+            [1e10 * jnp.eye(6, dtype=dtype), jnp.zeros((6, 6), dtype)]
+        )
+        prob = ba_mod.BAProblem.create(
+            poses0=poses0, points0=pts0,
+            obs=obs, obs_mask=obs_mask_ba, obs_weight=weight,
+            pose_prior=poses0, pose_prior_info=pose_prior_info,
+            point_prior=pts0, point_prior_info=point_info,
+        )
+        result = ba_mod.ba_solve(
+            prob, ba_mod.BAParams(max_iterations=p.ba_iterations)
+        )
+        n_obs = jnp.maximum(jnp.sum(obs_mask_ba), 1)
+        mean_err = 2.0 * result.error / n_obs.astype(dtype)
+        pose = SE3(result.poses.R[1], result.poses.t[1])
+        ok = (
+            (n_inl >= p.min_track_inliers)
+            & (mean_err <= p.max_track_mean_error)
+            & jnp.all(jnp.isfinite(pose.t))
+        )
+
+        def commit(_):
+            pts_ref = result.points.astype(dtype)
+            map_pos = state.map_pos.at[
+                jnp.where(old_ok, obs_slots, M)
+            ].set(pts_ref[: p.ba_old], mode="drop")
+            map_seen = state.map_seen.at[
+                jnp.where(old_ok, obs_slots, M)
+            ].set(state.step, mode="drop")
+            # allocate new slots
+            slots_new = _allocate_slots(state.map_valid, map_seen, p.ba_new)
+            w_new = jnp.where(new_ok, slots_new, M)
+            map_pos = map_pos.at[w_new].set(
+                pts_ref[p.ba_old :], mode="drop"
+            )
+            map_desc = state.map_desc.at[w_new].set(
+                f.desc[nf], mode="drop"
+            )
+            map_tmpl = state.map_tmpl.at[w_new].set(
+                state.lf_tmpl[new_idx], mode="drop"
+            )
+            map_valid = state.map_valid.at[w_new].set(True, mode="drop")
+            map_seen = map_seen.at[w_new].set(state.step, mode="drop")
+            # new-frame association + refined observations
+            assoc = jnp.full(K_feat, -1, jnp.int32)
+            w_oldfeat = jnp.where(old_ok, old_idx, K_feat)
+            assoc = assoc.at[w_oldfeat].set(
+                obs_slots.astype(jnp.int32), mode="drop"
+            )
+            w_nf = jnp.where(new_ok, nf, K_feat)
+            assoc = assoc.at[w_nf].set(
+                slots_new.astype(jnp.int32), mode="drop"
+            )
+            o_rays = f.rays.at[w_oldfeat].set(
+                obs_rays[old_idx], mode="drop"
+            )
+            o_rays = o_rays.at[w_nf].set(r_new[new_idx], mode="drop")
+            o_sig = f.sigma.at[w_oldfeat].set(
+                obs_sigma[old_idx], mode="drop"
+            )
+            o_sig = o_sig.at[w_nf].set(sig_new[new_idx], mode="drop")
+            return _store_frame(
+                state, f, obs_rays=o_rays, obs_sigma=o_sig, assoc=assoc
+            )._replace(
+                pose_R=pose.R.astype(dtype), pose_t=pose.t.astype(dtype),
+                map_pos=map_pos, map_desc=map_desc, map_tmpl=map_tmpl,
+                map_valid=map_valid, map_seen=map_seen,
+                frame_tracked=state.frame_tracked + 1,
+            )
+
+        def reset(_):
+            # back to INITIALIZING keeping the new frame (reference reset)
+            M_ = state.map_valid.shape[0]
+            return _store_frame(state, f)._replace(
+                mode=jnp.asarray(MODE_INITIALIZING, jnp.int32),
+                map_valid=jnp.zeros(M_, bool),
+                map_seen=jnp.full(M_, -1, jnp.int32),
+            )
+
+        new_state = jax.lax.cond(ok, commit, reset, None)
+        new_state = new_state._replace(key=key)
+        out = VoStepOut(
+            success=ok, mode=new_state.mode,
+            pose_R=new_state.pose_R, pose_t=new_state.pose_t,
+            num_inliers=n_inl, mean_error=mean_err.astype(dtype),
+        )
+        return new_state, out
+
+    @jax.jit
+    def step(state: VoJitState, image: Array, K_inv: Array, focal: Array):
+        f, smooth = preprocess(image, K_inv, focal)
+        state = state._replace(
+            step=state.step + 1, frame_total=state.frame_total + 1
+        )
+        new_state, out = jax.lax.switch(
+            state.mode,
+            [
+                lambda s: do_empty(s, f, smooth, K_inv, focal),
+                lambda s: do_init(s, f, smooth, K_inv, focal),
+                lambda s: do_track(s, f, smooth, K_inv, focal),
+            ],
+            state,
+        )
+        return new_state, out
+
+    return step

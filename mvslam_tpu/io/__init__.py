@@ -6,3 +6,4 @@ from mvslam_tpu.io.image import (  # noqa: F401
     save_image as save_image,
     write_manifest as write_manifest,
 )
+from mvslam_tpu.io import native_loader as native_loader  # noqa: F401

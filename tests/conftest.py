@@ -8,6 +8,7 @@ tolerances; f32 smoke tests cover the TPU-native dtype.
 
 import os
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )

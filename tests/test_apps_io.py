@@ -1,0 +1,149 @@
+"""Apps, viz exports, checkpoint/resume, calibration tests."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvslam_tpu.math.lie import SE3, so3_from_rpy
+from mvslam_tpu.ops.calibration import calibrate_planar
+from mvslam_tpu.viz import (
+    load_trajectory_tum, save_point_cloud_ply, save_scene_ply,
+    save_trajectory_tum, draw_keypoints, draw_matches,
+)
+
+TSUKUBA = "/root/reference/data/tsukuba"
+
+
+def test_trajectory_tum_round_trip(tmp_path):
+    poses = [
+        (0, 0.1, SE3.identity(dtype=jnp.float64)),
+        (1, 0.2, SE3(so3_from_rpy(0.1, -0.2, 0.3, dtype=jnp.float64),
+                     jnp.asarray([1.0, 2.0, 3.0], jnp.float64))),
+    ]
+    path = str(tmp_path / "traj.tum")
+    assert save_trajectory_tum(path, poses) == 2
+    back = load_trajectory_tum(path)
+    assert len(back) == 2
+    for (_, t0, p0), (_, t1, p1) in zip(poses, back):
+        assert abs(t0 - t1) < 1e-6
+        assert float(jnp.max(jnp.abs(p0.log() - p1.log()))) < 1e-6
+
+
+def test_ply_export(tmp_path):
+    pts = np.random.default_rng(0).normal(size=(50, 3))
+    path = str(tmp_path / "cloud.ply")
+    n = save_point_cloud_ply(path, pts)
+    assert n == 50
+    header = open(path).read().splitlines()
+    assert header[0] == "ply" and "element vertex 50" in header[2]
+    n2 = save_scene_ply(str(tmp_path / "scene.ply"), pts,
+                        [SE3.identity(dtype=jnp.float64)])
+    assert n2 > 50
+
+
+def test_draw_overlays():
+    img = np.zeros((64, 80), np.float32)
+    xy = np.asarray([[10.0, 10.0], [40.0, 30.0]])
+    out = draw_keypoints(img, xy)
+    assert out.shape == (64, 80, 3) and out.max() > 0
+    out2 = draw_matches(img, xy, img, xy, np.asarray([0, 1]),
+                        np.asarray([True, True]))
+    assert out2.shape == (64, 160, 3) and out2.max() > 0
+
+
+def test_calibration_synthetic():
+    # synthetic camera + 5 views of a 6x9 board
+    dtype = jnp.float64
+    K_true = jnp.asarray([[420.0, 0.0, 310.0], [0.0, 415.0, 235.0],
+                          [0.0, 0.0, 1.0]], dtype)
+    gx, gy = np.meshgrid(np.arange(9), np.arange(6))
+    board = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], -1), dtype) * 0.03
+    X = jnp.concatenate([board, jnp.zeros((54, 1), dtype)], -1)
+    rng = np.random.default_rng(1)
+    views = []
+    for v in range(5):
+        R = so3_from_rpy(*rng.uniform(-0.3, 0.3, 3), dtype=dtype)
+        t = jnp.asarray([0.05 * v - 0.1, 0.05, 0.6 + 0.1 * v], dtype)
+        pose = SE3(R, t)  # world->camera
+        Xc = pose.apply(X)
+        xy = Xc[:, :2] / Xc[:, 2:3]
+        px = xy @ K_true[:2, :2].T + K_true[:2, 2]
+        px = px + jnp.asarray(rng.normal(0, 0.1, px.shape), dtype)
+        views.append(px)
+    image_points = jnp.stack(views)
+    weights = jnp.ones(image_points.shape[:2], dtype)
+    res = calibrate_planar(board, image_points, weights)
+    K = np.asarray(res.K)
+    # 5 mildly tilted views at 0.1 px noise leave ~0.5% focal uncertainty
+    assert abs(K[0, 0] - 420.0) < 5.0, K
+    assert abs(K[1, 1] - 415.0) < 5.0, K
+    assert abs(K[0, 2] - 310.0) < 5.0, K
+    assert abs(K[1, 2] - 235.0) < 5.0, K
+    assert float(res.rms_error) < 0.3
+
+
+@pytest.mark.skipif(not os.path.isdir(TSUKUBA), reason="tsukuba absent")
+def test_visual_odometer_app_end_to_end(tmp_path):
+    # build a dataset dir with manifest pointing at tsukuba images
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    (ds / "camera.config").write_text(
+        open(f"{TSUKUBA}/camera.config").read()
+    )
+    (ds / "image.txt").write_text(
+        "\n".join(f"{TSUKUBA}/{i}.jpg" for i in range(1, 6))
+    )
+    ckpt = str(tmp_path / "vo.npz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR="/root/repo/.jax_cache")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mvslam_tpu.apps.visual_odometer", str(ds),
+         "--quiet", "--checkpoint", ckpt, "--out-dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=1800, env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "frame_tracked = 4" in proc.stdout, proc.stdout
+    assert (tmp_path / "trajectory.tum").exists()
+    assert (tmp_path / "scene.ply").exists()
+    assert os.path.exists(ckpt)
+    traj = load_trajectory_tum(str(tmp_path / "trajectory.tum"))
+    assert len(traj) == 4
+
+
+def test_checkpoint_round_trip(tmp_path):
+    if not os.path.isdir(TSUKUBA):
+        pytest.skip("tsukuba absent")
+    from mvslam_tpu.frontend import FrameManager, VisualOdometer, VoState
+    from mvslam_tpu.io import load_image_grayscale
+    from mvslam_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from mvslam_tpu.ops.camera import PinholeCamera
+
+    cam = PinholeCamera.load_from_file(f"{TSUKUBA}/camera.config")
+    fm = FrameManager(camera=cam)
+    vo = VisualOdometer()
+    for i in range(1, 4):
+        vo.add_frame(fm.add_frame(0.1 * i, load_image_grayscale(f"{TSUKUBA}/{i}.jpg")))
+    assert vo.state == VoState.TRACKING
+    pose_before = np.asarray(vo.get_camera_pose().t)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(vo, path)
+
+    vo2 = VisualOdometer()
+    load_checkpoint(path, vo2)
+    assert vo2.state == VoState.TRACKING
+    assert vo2.num_tracked_points == vo.num_tracked_points
+    np.testing.assert_allclose(np.asarray(vo2.get_camera_pose().t), pose_before)
+    # resumed VO keeps tracking the next frames
+    for i in (4, 5):
+        res = vo2.add_frame(
+            fm.add_frame(0.1 * i, load_image_grayscale(f"{TSUKUBA}/{i}.jpg"))
+        )
+        assert res.success, res
+    t = np.asarray(vo2.get_camera_pose().t)
+    assert np.abs(t - [4.0, 0.0, 0.0]).max() < 0.08, t

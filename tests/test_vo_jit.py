@@ -1,0 +1,74 @@
+"""Fused on-device VO step tests (tsukuba parity with the host VO)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvslam_tpu.frontend.vo_jit import (
+    MODE_INITIALIZING, MODE_TRACKING, VoJitParams, make_vo_step, vo_init_state,
+)
+from mvslam_tpu.io import load_image_grayscale
+from mvslam_tpu.ops.camera import PinholeCamera
+
+TSUKUBA = "/root/reference/data/tsukuba"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TSUKUBA), reason="tsukuba data absent"
+)
+
+
+@pytest.fixture(scope="module")
+def run():
+    cam = PinholeCamera.load_from_file(f"{TSUKUBA}/camera.config")
+    K_inv = jnp.asarray(np.linalg.inv(np.asarray(cam.K)), jnp.float32)
+    focal = jnp.asarray(350.0, jnp.float32)
+    params = VoJitParams()
+    step = make_vo_step(params)
+    state = vo_init_state(params)
+    outs = []
+    for i in range(1, 6):
+        img = load_image_grayscale(f"{TSUKUBA}/{i}.jpg")
+        state, out = step(state, img, K_inv, focal)
+        outs.append(out)
+    return state, outs
+
+
+def test_bootstrap_then_track(run):
+    state, outs = run
+    assert not bool(outs[0].success)
+    assert int(outs[0].mode) == MODE_INITIALIZING
+    assert bool(outs[1].success)
+    assert int(outs[1].mode) == MODE_TRACKING
+    assert all(bool(o.success) for o in outs[2:])
+
+
+def test_trajectory_envelope(run):
+    state, outs = run
+    for i, out in enumerate(outs[1:], start=2):
+        t = np.asarray(out.pose_t)
+        assert np.abs(t - [i - 1.0, 0, 0]).max() < 0.08, (i, t)
+
+
+def test_state_bookkeeping(run):
+    state, outs = run
+    assert int(state.frame_total) == 5
+    assert int(state.frame_tracked) == 4
+    assert int(state.map_valid.sum()) > 100
+    assert bool(jnp.all(jnp.isfinite(state.map_pos[state.map_valid])))
+
+
+def test_reset_on_garbage_frame(run):
+    state, outs = run
+    # a blank frame cannot track: the step must fail gracefully and fall
+    # back to INITIALIZING (the reference's self-healing reset)
+    cam = PinholeCamera.load_from_file(f"{TSUKUBA}/camera.config")
+    K_inv = jnp.asarray(np.linalg.inv(np.asarray(cam.K)), jnp.float32)
+    focal = jnp.asarray(350.0, jnp.float32)
+    step = make_vo_step(VoJitParams())
+    blank = jnp.zeros((288, 384), jnp.float32)
+    new_state, out = step(state, blank, K_inv, focal)
+    assert not bool(out.success)
+    assert int(new_state.mode) == MODE_INITIALIZING
