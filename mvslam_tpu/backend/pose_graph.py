@@ -109,7 +109,13 @@ def _prior_residuals(data: PoseGraphData) -> Array:
     return data.prior_pose.inverse().compose(data.poses).log()
 
 
-def pose_graph_cost(data: PoseGraphData) -> Array:
+def _psum(x, axis_name):
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def pose_graph_cost(data: PoseGraphData, axis_name: str | None = None) -> Array:
+    """Total cost; under shard_map with edge-sharded data the edge term is a
+    local sum psum'd over the mesh, priors (replicated) added once."""
     r, _, _ = _edge_residuals_and_jacobians(data)
     w = data.edge_mask.astype(r.dtype)
     c_edges = 0.5 * jnp.sum(
@@ -117,11 +123,13 @@ def pose_graph_cost(data: PoseGraphData) -> Array:
     )
     rp = _prior_residuals(data)
     c_prior = 0.5 * jnp.sum(jnp.einsum("ni,nij,nj->n", rp, data.prior_info, rp))
-    return c_edges + c_prior
+    return _psum(c_edges, axis_name) + c_prior
 
 
-def _normal_equations(data: PoseGraphData):
-    """Dense 6N x 6N H and 6N b by scatter-add over edges."""
+def _normal_equations(data: PoseGraphData, axis_name: str | None = None):
+    """Dense 6N x 6N H and 6N b by scatter-add over (possibly sharded)
+    edges; the assembled system is psum'd so every shard solves the same
+    replicated system (nodes are replicated; edges shard)."""
     N = data.poses.t.shape[0]
     dtype = data.poses.t.dtype
     r, Js, Jd = _edge_residuals_and_jacobians(data)
@@ -143,6 +151,8 @@ def _normal_equations(data: PoseGraphData):
     b = jnp.zeros((N, 6), dtype)
     b = b.at[data.edge_src].add(bs)
     b = b.at[data.edge_dst].add(bd)
+    H = _psum(H, axis_name)
+    b = _psum(b, axis_name)
     # priors (identity Jacobian)
     rp = _prior_residuals(data)
     H = H.at[jnp.arange(N), jnp.arange(N)].add(data.prior_info)
@@ -156,10 +166,17 @@ def _normal_equations(data: PoseGraphData):
 
 
 def pose_graph_optimize(
-    data: PoseGraphData, params: PoseGraphParams = PoseGraphParams()
+    data: PoseGraphData,
+    params: PoseGraphParams = PoseGraphParams(),
+    axis_name: str | None = None,
 ) -> PoseGraphResult:
     """LM over the whole graph (reference ``GraphOptimizer::optimize``,
-    ``back-end/graph.cpp:254-258``)."""
+    ``back-end/graph.cpp:254-258``).
+
+    ``axis_name``: under ``shard_map`` with edges sharded over that mesh
+    axis (nodes/priors replicated), the identical code runs distributed —
+    one psum of the dense (N, N, 6, 6) system per iteration.
+    """
     N = data.poses.t.shape[0]
     dtype = data.poses.t.dtype
     eye = jnp.eye(6 * N, dtype=dtype)
@@ -170,13 +187,13 @@ def pose_graph_optimize(
     def lm_step(state):
         R, t, lam, cost, it, done = state
         poses = SE3(R, t)
-        H, b = _normal_equations(with_poses(poses))
+        H, b = _normal_equations(with_poses(poses), axis_name)
         H_flat = H.transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
         delta = linalg.solve_psd(H_flat + lam * eye, b.reshape(-1))
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0).reshape(N, 6)
         delta = delta * data.node_mask[:, None]
         new_poses = poses.compose(SE3.exp(delta))
-        new_cost = pose_graph_cost(with_poses(new_poses))
+        new_cost = pose_graph_cost(with_poses(new_poses), axis_name)
         accept = jnp.logical_and(jnp.isfinite(new_cost), new_cost < cost)
         lam = jnp.clip(
             jnp.where(accept, lam * params.lambda_down, lam * params.lambda_up),
@@ -198,7 +215,7 @@ def pose_graph_optimize(
         *_, it, done = state
         return jnp.logical_and(it < params.max_iterations, jnp.logical_not(done))
 
-    cost0 = pose_graph_cost(data)
+    cost0 = pose_graph_cost(data, axis_name)
     state0 = (
         data.poses.R, data.poses.t,
         jnp.asarray(params.lambda_init, dtype), cost0,

@@ -8,3 +8,6 @@ from mvslam_tpu.parallel.dist_ba import (  # noqa: F401
     pad_problem as pad_problem,
 )
 from mvslam_tpu.parallel import synthetic as synthetic  # noqa: F401
+from mvslam_tpu.parallel.dist_pose_graph import (  # noqa: F401
+    distributed_pose_graph_optimize as distributed_pose_graph_optimize,
+)

@@ -74,3 +74,24 @@ def test_distributed_pads_odd_point_counts(problem):
     np.testing.assert_allclose(
         np.asarray(res8.points), np.asarray(res1.points), atol=1e-7
     )
+
+
+def test_distributed_pose_graph_matches_single_device():
+    import test_pose_graph as tpg
+
+    rng = np.random.default_rng(0)
+    graph, gt, ids = tpg.build_noisy_graph(jnp.float64, rng)
+    data = graph.to_data(node_capacity=8, edge_capacity=10)  # odd edge count
+    from mvslam_tpu.backend import pose_graph as pg
+    from mvslam_tpu.parallel import distributed_pose_graph_optimize
+
+    res1 = pg.pose_graph_optimize(data)
+    mesh = make_mesh()
+    res8 = distributed_pose_graph_optimize(data, mesh)
+    np.testing.assert_allclose(
+        np.asarray(res8.poses.t), np.asarray(res1.poses.t), atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(res8.poses.R), np.asarray(res1.poses.R), atol=1e-9
+    )
+    assert int(res8.iterations) == int(res1.iterations)
