@@ -7,9 +7,20 @@ component that takes effective measurement noise from ~0.4 px (integer
 corner detection) to the ~0.1 px regime the tsukuba ATE bound
 (``test/test-visual-odometer.cpp:62,98-102``) demands.
 
-TPU shape: all N correspondences refine in parallel — template gradients
-and 2x2 normal matrices are precomputed per template; each iteration is a
-batched bilinear gather + two reductions. Fixed iteration count, jit-safe.
+TPU shape: element-wise gathers are poison on TPU (the first version spent
+~46 ms/frame in four (N, W, W) scalar gathers per sample), so sampling is
+restructured into two stages that the hardware likes:
+
+1. one **block gather**: a (P, P) integer-anchored local patch per keypoint
+   via vmapped ``dynamic_slice`` — N contiguous tiles instead of N*W*W
+   scattered elements, done once per track;
+2. per iteration, **bilinear sampling as matmuls**: the fractional 13x13
+   window inside the local patch is ``S_row @ local @ S_col^T`` where
+   S_row/S_col are (W, P) two-tap interpolation matrices — batched einsums
+   that run on the MXU, with zero gathers inside the loop.
+
+Inverse-compositional LK, translation-only: the 2x2 Hessian comes from
+template gradients (computed once); fixed iteration count, jit-safe.
 """
 
 from __future__ import annotations
@@ -25,6 +36,12 @@ Array = jax.Array
 WINDOW = 13          # patch side (odd)
 ITERATIONS = 10
 MAX_SHIFT = 4.0      # reject tracks that wander farther than this (px)
+#: local-patch halfwidth: window radius + max excursion + bilinear margin
+_LOCAL_HW = WINDOW // 2 + int(MAX_SHIFT) + 2
+_LOCAL_P = 2 * _LOCAL_HW + 1
+#: max offset from the anchor while iterating (keeps sampling inside the
+#: local patch: hw - r - 1 >= MAX_SHIFT + init rounding slack)
+_MAX_OFF = float(_LOCAL_HW - WINDOW // 2 - 1)
 
 
 class KltResult(NamedTuple):
@@ -52,44 +69,60 @@ def smooth_image(img: Array, passes: int = 3) -> Array:
     return x[0, 0]
 
 
-def _grid(window: int, dtype):
-    r = window // 2
-    o = jnp.arange(-r, r + 1, dtype=dtype)
-    gy, gx = jnp.meshgrid(o, o, indexing="ij")
-    return gx, gy                      # each (W, W)
+def _local_patches(img: Array, xy: Array):
+    """(N, P, P) integer-anchored local patches + float anchors (N, 2).
 
-
-def _sample_patches(img: Array, xy: Array, window: int) -> Array:
-    """Bilinear patches (N, W, W) centered at fractional xy=(x, y)."""
-    gx, gy = _grid(window, img.dtype)
-    xs = xy[:, 0, None, None] + gx[None]
-    ys = xy[:, 1, None, None] + gy[None]
-    x0 = jnp.floor(xs)
-    y0 = jnp.floor(ys)
-    fx = xs - x0
-    fy = ys - y0
+    One contiguous ``dynamic_slice`` tile per keypoint — the only gather in
+    the whole tracker.
+    """
     H, W_img = img.shape
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, W_img - 2)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    hw = _LOCAL_HW
+    padded = jnp.pad(img, hw, mode="edge")
+    ax = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, W_img - 1)
+    ay = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, H - 1)
 
-    def at(yy, xx):
-        return img[yy, xx]
+    def one(ax_, ay_):
+        return jax.lax.dynamic_slice(padded, (ay_, ax_), (_LOCAL_P, _LOCAL_P))
 
-    v00 = at(y0i, x0i)
-    v01 = at(y0i, x0i + 1)
-    v10 = at(y0i + 1, x0i)
-    v11 = at(y0i + 1, x0i + 1)
-    return (
-        v00 * (1 - fy) * (1 - fx)
-        + v01 * (1 - fy) * fx
-        + v10 * fy * (1 - fx)
-        + v11 * fy * fx
-    )
+    local = jax.vmap(one)(ax, ay)
+    anchor = jnp.stack([ax, ay], axis=-1).astype(img.dtype)
+    return local, anchor
+
+
+def _interp_matrix(rel: Array, window: int, dtype) -> Array:
+    """(N, window, P) two-tap bilinear selection matrices.
+
+    Row i selects position ``rel + (i - r)`` (fractional) from a length-P
+    axis: weight ``1-f`` at ``floor`` and ``f`` at ``floor + 1``.
+    """
+    r = window // 2
+    pos = rel[:, None] + jnp.arange(
+        -r, r + 1, dtype=dtype
+    )[None, :]                                        # (N, window)
+    p0 = jnp.floor(pos)
+    f = pos - p0
+    p0i = jnp.clip(p0.astype(jnp.int32), 0, _LOCAL_P - 2)
+    grid = jnp.arange(_LOCAL_P, dtype=jnp.int32)      # (P,)
+    is0 = (grid[None, None, :] == p0i[:, :, None]).astype(dtype)
+    is1 = (grid[None, None, :] == (p0i + 1)[:, :, None]).astype(dtype)
+    return is0 * (1.0 - f)[:, :, None] + is1 * f[:, :, None]
+
+
+def _bilinear_from_local(local: Array, rel_xy: Array, window: int) -> Array:
+    """Fractional (N, window, window) windows out of (N, P, P) local patches
+    — two batched matmuls (MXU), no gathers."""
+    dtype = local.dtype
+    Sx = _interp_matrix(rel_xy[:, 0], window, dtype)   # (N, win, P) cols
+    Sy = _interp_matrix(rel_xy[:, 1], window, dtype)   # (N, win, P) rows
+    tmp = jnp.einsum("nip,npq->niq", Sy, local)        # rows selected
+    return jnp.einsum("niq,njq->nij", tmp, Sx)         # cols selected
 
 
 def extract_templates(img: Array, xy: Array, window: int = WINDOW) -> Array:
-    """Template patches for later tracking (N, W, W)."""
-    return _sample_patches(img, xy, window)
+    """Template patches (N, W, W), bilinear at fractional ``xy``."""
+    local, anchor = _local_patches(img, xy)
+    rel = xy.astype(img.dtype) - anchor + _LOCAL_HW
+    return _bilinear_from_local(local, rel, window)
 
 
 @partial(jax.jit, static_argnames=("window", "iterations"))
@@ -103,13 +136,10 @@ def klt_track(
 ) -> KltResult:
     """Refine positions in ``img`` so the local patch matches ``templates``.
 
-    Inverse-compositional LK, translation-only: the 2x2 Hessian comes from
-    template gradients (computed once), each iteration is one batched
-    bilinear sample + residual projection. Invalid/diverged tracks return
-    their initial position with ``valid=False``.
+    Invalid/diverged tracks return their initial position with
+    ``valid=False``.
     """
     dtype = img.dtype
-    N = templates.shape[0]
     # template gradients (central differences on the interior)
     tx = 0.5 * (
         jnp.pad(templates, ((0, 0), (0, 0), (0, 1)), mode="edge")[:, :, 1:]
@@ -127,8 +157,14 @@ def klt_track(
     good_H = det > tiny
     inv_det = 1.0 / jnp.where(good_H, det, 1.0)
 
+    local, anchor = _local_patches(img, xy_init)
+
+    def sample(xy):
+        rel = xy - anchor + _LOCAL_HW
+        return _bilinear_from_local(local, rel, window)
+
     def step(_, xy):
-        cur = _sample_patches(img, xy, window)
+        cur = sample(xy)
         e = cur - templates
         bx = jnp.sum(tx * e, axis=(-2, -1))
         by = jnp.sum(ty * e, axis=(-2, -1))
@@ -138,11 +174,13 @@ def klt_track(
         delta = jnp.stack([dx, dy], axis=-1)
         delta = jnp.clip(delta, -1.5, 1.5)
         upd = jnp.where((mask & good_H)[:, None], delta, 0.0)
-        return xy - upd
+        new = xy - upd
+        # stay inside the local patch (diverged tracks fail MAX_SHIFT below)
+        return anchor + jnp.clip(new - anchor, -_MAX_OFF, _MAX_OFF)
 
     xy = jax.lax.fori_loop(0, iterations, step, xy_init.astype(dtype))
     shift = jnp.linalg.norm(xy - xy_init, axis=-1)
-    cur = _sample_patches(img, xy, window)
+    cur = sample(xy)
     residual = jnp.mean(jnp.abs(cur - templates), axis=(-2, -1))
     valid = mask & good_H & (shift <= MAX_SHIFT) & jnp.all(
         jnp.isfinite(xy), axis=-1
