@@ -40,7 +40,7 @@ def main() -> None:
     import numpy as np
 
     from mvslam_tpu.frontend.vo_jit import (
-        VoJitParams, make_vo_step, vo_init_state,
+        VoJitParams, make_vo_replay, vo_init_state,
     )
     from mvslam_tpu.io import load_image_grayscale
     from mvslam_tpu.ops.camera import PinholeCamera
@@ -49,37 +49,39 @@ def main() -> None:
     cam = PinholeCamera.load_from_file(f"{TSUKUBA}/camera.config")
     K_inv = jnp.asarray(np.linalg.inv(np.asarray(cam.K)), jnp.float32)
     focal = jnp.asarray(350.0, jnp.float32)
-    images = [
+    images = jnp.stack([
         jax.device_put(load_image_grayscale(f"{TSUKUBA}/{i}.jpg"))
         for i in range(1, 6)
-    ]
+    ])
+    n_img = images.shape[0]
     params = VoJitParams()
-    step = make_vo_step(params)
+    replay = make_vo_replay(params)
+
+    state0 = jax.device_put(vo_init_state(params))
 
     def run_sequence():
-        state = vo_init_state(params)
-        for img in images:
-            state, out = step(state, img, K_inv, focal)
+        state, outs = replay(state0, images, K_inv, focal)
         jax.block_until_ready(state.pose_t)
         return state
 
-    # warmup: compiles the fused step (persistent-cached across runs)
+    # warmup: compiles the fused scan (persistent-cached across runs)
     t0 = time.time()
     state = run_sequence()
     log(f"warmup pass: {time.time() - t0:.1f}s, "
-        f"tracked {int(state.frame_tracked)}/5")
+        f"tracked {int(state.frame_tracked)}/{n_img}")
 
-    # timed passes over the full 5-frame pipeline (bootstrap + tracking)
-    passes = 10
+    # timed passes over the full 5-frame pipeline (bootstrap + tracking),
+    # one device dispatch per pass (lax.scan over the image batch)
+    passes = 40
     n_frames = 0
     t0 = time.time()
     for _ in range(passes):
         state = run_sequence()
-        n_frames += len(images)
+        n_frames += n_img
     elapsed = time.time() - t0
     fps = n_frames / elapsed
     log(f"timed: {n_frames} frames in {elapsed:.2f}s, "
-        f"tracked {int(state.frame_tracked)}/5 last pass, "
+        f"tracked {int(state.frame_tracked)}/{n_img} last pass, "
         f"map {int(state.map_valid.sum())}")
 
     print(json.dumps({

@@ -169,8 +169,8 @@ def _store_frame(state: VoJitState, f: _FrameArrays,
     )
 
 
-def make_vo_step(params: VoJitParams = VoJitParams()):
-    """Build the jitted ``step(state, image, K_mat, K_inv, focal)``."""
+def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
+    """Build (jitted step, raw traceable step) for ``(state, image) -> ...``."""
     p = params
     K_feat = p.orb.max_features
     M = p.map_capacity
@@ -511,8 +511,7 @@ def make_vo_step(params: VoJitParams = VoJitParams()):
         )
         return new_state, out
 
-    @jax.jit
-    def step(state: VoJitState, image: Array, K_inv: Array, focal: Array):
+    def step_fn(state: VoJitState, image: Array, K_inv: Array, focal: Array):
         f, smooth = preprocess(image, K_inv, focal)
         state = state._replace(
             step=state.step + 1, frame_total=state.frame_total + 1
@@ -528,4 +527,30 @@ def make_vo_step(params: VoJitParams = VoJitParams()):
         )
         return new_state, out
 
-    return step
+    return jax.jit(step_fn), step_fn
+
+
+def make_vo_step(params: VoJitParams = VoJitParams()):
+    """Build the jitted ``step(state, image, K_inv, focal)``."""
+    jitted, _ = _make_vo_step_fns(params)
+    return jitted
+
+
+def make_vo_replay(params: VoJitParams = VoJitParams()):
+    """Build ``replay(state, images, K_inv, focal) -> (state, outs)``.
+
+    Scans the per-frame step over a stacked ``(T, H, W)`` image batch in ONE
+    device dispatch — the compiler-friendly dataset-replay path (the
+    reference's per-frame mutex loop, ``utility/visual-odometer.cpp:78-116``,
+    becomes a ``lax.scan``). Outputs are stacked :class:`VoStepOut` leaves.
+    """
+    _, step_fn = _make_vo_step_fns(params)
+
+    @jax.jit
+    def replay(state: VoJitState, images: Array, K_inv: Array, focal: Array):
+        def body(s, img):
+            return step_fn(s, img, K_inv, focal)
+
+        return jax.lax.scan(body, state, images)
+
+    return replay
