@@ -62,13 +62,19 @@ def main() -> None:
     def run_sequence():
         state, outs = replay(state0, images, K_inv, focal)
         jax.block_until_ready(state.pose_t)
-        return state
+        return state, outs
 
     # warmup: compiles the fused scan (persistent-cached across runs)
     t0 = time.time()
-    state = run_sequence()
+    state, outs = run_sequence()
     log(f"warmup pass: {time.time() - t0:.1f}s, "
         f"tracked {int(state.frame_tracked)}/{n_img}")
+    log("per-frame: " + " ".join(
+        f"[{i+1}: ok={int(outs.success[i])} mode={int(outs.mode[i])} "
+        f"inl={int(outs.num_inliers[i])} err={float(outs.mean_error[i]):.2e} "
+        f"t=({float(outs.pose_t[i, 0]):.3f},{float(outs.pose_t[i, 1]):.3f},"
+        f"{float(outs.pose_t[i, 2]):.3f})]"
+        for i in range(n_img)))
 
     # timed passes over the full 5-frame pipeline (bootstrap + tracking),
     # one device dispatch per pass (lax.scan over the image batch)
@@ -76,7 +82,7 @@ def main() -> None:
     n_frames = 0
     t0 = time.time()
     for _ in range(passes):
-        state = run_sequence()
+        state, _ = run_sequence()
         n_frames += n_img
     elapsed = time.time() - t0
     fps = n_frames / elapsed
@@ -84,11 +90,15 @@ def main() -> None:
         f"tracked {int(state.frame_tracked)}/{n_img} last pass, "
         f"map {int(state.map_valid.sum())}")
 
+    # "mode": scan-based dataset replay amortizing host dispatch over the
+    # 5-frame sequence (NOT the online single-frame dispatch rate) — keeps
+    # round-over-round BENCH comparisons methodology-explicit.
     print(json.dumps({
         "metric": "tsukuba_frames_per_s",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 10.0, 3),
+        "mode": "replay",
     }))
 
 

@@ -58,16 +58,25 @@ def demo_visual_feature(p1: str, p2: str, out_dir: str) -> int:
 
 
 def demo_visualizer_2d(p1: str, p2: str, out_dir: str) -> int:
-    """Keypoint circles + matched-pair overlay (reference
-    ``test-visualizer-2d.cpp:10-74``)."""
-    from mvslam_tpu.ops import features
-    from mvslam_tpu.viz import draw_keypoints
+    """Drive the threaded 2D viewer with a keyframe + matched pair
+    (reference ``test-visualizer-2d.cpp:10-74`` drives Visualizer2d the
+    same way with the tsukuba pair)."""
+    from mvslam_tpu.ops import features, matching
+    from mvslam_tpu.viz import Visualizer2d
 
     img1 = load_image_grayscale(p1)
+    img2 = load_image_grayscale(p2)
     f1 = features.orb_detect(img1)
-    out = os.path.join(out_dir, "keypoints.png")
-    save_image(out, draw_keypoints(img1, np.asarray(f1.xy), np.asarray(f1.mask)))
-    print(f"wrote {out}")
+    f2 = features.orb_detect(img2)
+    m = matching.match_features(f1.desc, f1.mask, f2.desc, f2.mask)
+    viewer = Visualizer2d(out_dir)
+    viewer.show_keyframe(img1, np.asarray(f1.xy), np.asarray(f1.mask))
+    viewer.show_matched_pair(
+        img1, np.asarray(f1.xy), img2, np.asarray(f2.xy),
+        np.asarray(m.idx), np.asarray(m.mask),
+    )
+    viewer.close()
+    print(f"wrote {viewer.window_path}")
     return demo_visual_feature(p1, p2, out_dir)
 
 
@@ -89,6 +98,16 @@ def demo_visualizer_3d(out_dir: str) -> int:
     out = os.path.join(out_dir, "scene.ply")
     n = save_scene_ply(out, cloud, poses)
     print(f"wrote {out} ({n} vertices)")
+
+    # drive the threaded 3D viewer as the reference driver does
+    from mvslam_tpu.viz import Visualizer3d
+
+    viewer = Visualizer3d(out_dir)
+    viewer.set_point_cloud(0, cloud)
+    for i, pose in enumerate(poses):
+        viewer.set_camera_pose(i, pose)
+    viewer.close()
+    print(f"wrote {viewer.window_path}")
     return ApplicationErrorCode.NONE
 
 

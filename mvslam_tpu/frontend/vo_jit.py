@@ -65,6 +65,16 @@ class VoJitParams(NamedTuple):
     map_point_stddev: float = 0.05
     ba_iterations: int = 25
     pnp_hypotheses: int = 256
+    # KLT subpixel refinement of matched observations (A/B-able: the
+    # reference uses raw ORB keypoint positions only)
+    use_klt: bool = True
+    # sigma for template-anchor observations: the map point is DEFINED as
+    # the scene point imaged at the template center, so that observation
+    # is exact by construction (only jpeg/interp noise); weighting it at
+    # its true near-zero sigma stops integer-corner quantization from
+    # leaking into the two-view geometry (bas-relief rotation/translation
+    # ambiguity scales all map depths otherwise)
+    template_sigma_px: float = 0.02
 
 
 class VoJitState(NamedTuple):
@@ -81,6 +91,7 @@ class VoJitState(NamedTuple):
     map_tmpl: Array             # (M, W, W)
     map_valid: Array            # (M,) bool
     map_seen: Array             # (M,) int32
+    map_info: Array             # (M, 3, 3) landmark information (Hpp)
     # last frame
     lf_xy: Array                # (K, 2)
     lf_desc: Array              # (K, 8) uint32
@@ -103,6 +114,7 @@ class VoStepOut(NamedTuple):
     pose_t: Array
     num_inliers: Array          # () int32
     mean_error: Array           # () float32
+    pnp_t: Array                # (3,) pre-BA PnP translation (diagnostics)
 
 
 def vo_init_state(params: VoJitParams, dtype=jnp.float32,
@@ -121,6 +133,7 @@ def vo_init_state(params: VoJitParams, dtype=jnp.float32,
         map_tmpl=jnp.zeros((M, W, W), dtype),
         map_valid=jnp.zeros(M, bool),
         map_seen=jnp.full(M, -1, jnp.int32),
+        map_info=jnp.zeros((M, 3, 3), dtype),
         lf_xy=jnp.zeros((K, 2), dtype),
         lf_desc=jnp.zeros((K, 8), jnp.uint32),
         lf_mask=jnp.zeros(K, bool),
@@ -202,6 +215,7 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             pose_R=state.pose_R, pose_t=state.pose_t,
             num_inliers=jnp.asarray(0, jnp.int32),
             mean_error=jnp.asarray(jnp.inf, state.pose_t.dtype),
+            pnp_t=jnp.zeros(3, state.pose_t.dtype),
         )
         return new_state, out
 
@@ -213,12 +227,17 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             state.lf_desc, state.lf_mask, f.desc, f.mask,
             max_distance=p.max_match_distance,
         )
-        kr = klt.klt_track(state.lf_tmpl, smooth, f.xy[m.idx], m.mask)
-        ones = jnp.ones_like(kr.xy[..., :1])
-        r2 = jnp.concatenate([kr.xy, ones], axis=-1) @ K_inv.T
-        obs_sigma = jnp.where(
-            kr.valid, p.klt_sigma_px / focal, state.lf_sigma
-        )
+        if p.use_klt:
+            kr = klt.klt_track(state.lf_tmpl, smooth, f.xy[m.idx], m.mask)
+            xy2 = kr.xy
+            obs_sigma = jnp.where(
+                kr.valid, p.klt_sigma_px / focal, state.lf_sigma
+            )
+        else:
+            xy2 = f.xy[m.idx]
+            obs_sigma = f.sigma[m.idx]     # already focal-normalized
+        ones = jnp.ones_like(xy2[..., :1])
+        r2 = jnp.concatenate([xy2, ones], axis=-1) @ K_inv.T
         # the RANSAC threshold is focal-scaled and ``focal`` is traced, so
         # call the solver pieces directly instead of the static SfmParams
         from mvslam_tpu.ops import ransac as ransac_mod
@@ -240,10 +259,20 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
         points, point_mask = sfm.sfm_triangulate(
             state.lf_rays, r2, rr.inlier_mask, pose2in1
         )
+        # frame-1 observations are template centers — exact by construction
+        # (the triangulated point is the scene point imaged there); frame-2
+        # observations carry the tracker's noise
+        if p.use_klt:
+            sigma1 = jnp.full_like(obs_sigma, p.template_sigma_px / focal)
+            sigma1 = jnp.where(kr.valid, sigma1, state.lf_sigma)
+        else:
+            sigma1 = state.lf_sigma
         ref = sfm.sfm_refine(
             state.lf_rays, r2, point_mask, pose2in1, points,
-            obs_stddev=obs_sigma, gauge="scale_only",
-            ba_params=ba_mod.BAParams(max_iterations=p.ba_iterations),
+            obs_stddev=jnp.stack([sigma1, obs_sigma]), gauge="scale_only",
+            ba_params=ba_mod.BAParams(max_iterations=p.ba_iterations,
+                                      compute_covariance=False,
+                                      compute_point_info=True),
         )
         n_obs = jnp.maximum(2 * jnp.sum(point_mask), 1)
         mean_err = 2.0 * ref.error / n_obs.astype(dtype)
@@ -252,12 +281,15 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
         t_norm = jnp.maximum(jnp.linalg.norm(T.t), 1e-9)
         tz = jnp.abs(T.t[2]) / t_norm
         n_inl = rr.num_inliers
+        # reference check_image_pair gates (visual-odometer.cpp:348-382):
+        # inlier count, refined error, rotation, z-translation — it does NOT
+        # gate on LM convergence (gtsam LM runs to its iteration cap too)
         ok = (
             (n_inl >= p.min_pair_inliers)
             & (mean_err <= p.max_pair_mean_error)
             & (w_rot <= p.max_pair_rotation)
             & (tz <= p.max_pair_z_translation)
-            & ref.converged
+            & jnp.all(jnp.isfinite(T.t))
         )
 
         def accept(_):
@@ -275,6 +307,10 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             map_valid = jnp.zeros(M, bool).at[slots].set(point_mask)
             map_seen = jnp.full(M, -1, jnp.int32).at[slots].set(
                 jnp.where(point_mask, state.step, -1)
+            )
+            map_info = jnp.zeros((M, 3, 3), dtype).at[slots].set(
+                jnp.where(point_mask[:, None, None],
+                          ref.point_information.astype(dtype), 0.0)
             )
             # association for the NEW frame: feature m.idx[i] -> slot i
             write_to = jnp.where(point_mask, m.idx, K_feat)  # drop masked
@@ -297,7 +333,7 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
                 mode=jnp.asarray(MODE_TRACKING, jnp.int32),
                 pose_R=T.R.astype(dtype), pose_t=T.t.astype(dtype),
                 map_pos=map_pos, map_desc=map_desc, map_tmpl=map_tmpl,
-                map_valid=map_valid, map_seen=map_seen,
+                map_valid=map_valid, map_seen=map_seen, map_info=map_info,
                 frame_tracked=state.frame_tracked + 1,
             )
             return ns
@@ -311,6 +347,7 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             success=ok, mode=new_state.mode,
             pose_R=new_state.pose_R, pose_t=new_state.pose_t,
             num_inliers=n_inl, mean_error=mean_err.astype(dtype),
+            pnp_t=T.t.astype(dtype),
         )
         return new_state, out
 
@@ -323,10 +360,15 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             f.desc, f.mask, state.map_desc, state.map_valid,
             max_distance=p.max_match_distance,
         )
-        kr = klt.klt_track(state.map_tmpl[m.idx], smooth, f.xy, m.mask)
-        ones = jnp.ones_like(kr.xy[..., :1])
-        obs_rays = jnp.concatenate([kr.xy, ones], axis=-1) @ K_inv.T
-        obs_sigma = jnp.where(kr.valid, p.klt_sigma_px / focal, f.sigma)
+        if p.use_klt:
+            kr = klt.klt_track(state.map_tmpl[m.idx], smooth, f.xy, m.mask)
+            obs_xy = kr.xy
+            obs_sigma = jnp.where(kr.valid, p.klt_sigma_px / focal, f.sigma)
+        else:
+            obs_xy = f.xy
+            obs_sigma = f.sigma
+        ones = jnp.ones_like(obs_xy[..., :1])
+        obs_rays = jnp.concatenate([obs_xy, ones], axis=-1) @ K_inv.T
         map_pts = state.map_pos[m.idx]
         # 2) PnP-RANSAC (inlined: the reprojection threshold is focal-scaled
         #    and focal is traced, so PnpParams statics don't fit)
@@ -361,12 +403,17 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             jnp.where(m.mask, jnp.arange(K_feat), K_feat)
         ].set(m.idx.astype(jnp.int32), mode="drop")
         lm_ok = lm.mask & (new_assoc_of_new_feat[lm.idx] < 0)
-        kr2 = klt.klt_track(state.lf_tmpl, smooth, f.xy[lm.idx], lm_ok)
+        if p.use_klt:
+            kr2 = klt.klt_track(state.lf_tmpl, smooth, f.xy[lm.idx], lm_ok)
+            xy_new = kr2.xy
+            sig_new = jnp.where(kr2.valid, p.klt_sigma_px / focal,
+                                f.sigma[lm.idx])
+        else:
+            xy_new = f.xy[lm.idx]
+            sig_new = f.sigma[lm.idx]
         r_new = jnp.concatenate(
-            [kr2.xy, jnp.ones_like(kr2.xy[..., :1])], axis=-1
+            [xy_new, jnp.ones_like(xy_new[..., :1])], axis=-1
         ) @ K_inv.T
-        sig_new = jnp.where(kr2.valid, p.klt_sigma_px / focal,
-                            f.sigma[lm.idx])
         last_pose = SE3(state.pose_R, state.pose_t)
         rel = last_pose.inverse().compose(pose0)
         pts_last, tri_mask = sfm.sfm_triangulate(
@@ -408,16 +455,23 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
         obs = obs.at[1, p.ba_old :].set(r_new[new_idx, :2])
         obs_mask_ba = obs_mask_ba.at[0, p.ba_old :].set(new_ok)
         obs_mask_ba = obs_mask_ba.at[1, p.ba_old :].set(new_ok)
-        weight = weight.at[0, p.ba_old :].set(focal / p.klt_sigma_px)
+        # last-frame obs of new points = template centers (exact by
+        # construction, see template_sigma_px)
+        weight = weight.at[0, p.ba_old :].set(focal / p.template_sigma_px)
         weight = weight.at[1, p.ba_old :].set(1.0 / sig_new[new_idx])
 
         point_info = jnp.zeros((cap, 3, 3), dtype)
+        # old points carry their recursive landmark information (Hpp from
+        # every BA that observed them): large across-ray, small along-ray,
+        # so later baselines can re-resolve depth (the isotropic prior the
+        # reference uses locks bootstrap depth error in; see sigma=1e-2
+        # regulators, sfm-refine.cpp:11-18)
+        stored_info = state.map_info[obs_slots]
+        has_info = jnp.trace(stored_info, axis1=-2, axis2=-1) > 0
+        iso = jnp.eye(3, dtype=dtype) / (p.map_point_stddev**2)
+        old_info = jnp.where(has_info[:, None, None], stored_info, iso)
         point_info = point_info.at[: p.ba_old].set(
-            jnp.where(
-                old_ok[:, None, None],
-                jnp.eye(3, dtype=dtype) / (p.map_point_stddev**2),
-                0.0,
-            )
+            jnp.where(old_ok[:, None, None], old_info, 0.0)
         )
         poses0 = SE3(
             jnp.stack([state.pose_R, pose0.R.astype(dtype)]),
@@ -433,7 +487,9 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             point_prior=pts0, point_prior_info=point_info,
         )
         result = ba_mod.ba_solve(
-            prob, ba_mod.BAParams(max_iterations=p.ba_iterations)
+            prob, ba_mod.BAParams(max_iterations=p.ba_iterations,
+                                  compute_covariance=False,
+                                  compute_point_info=True)
         )
         n_obs = jnp.maximum(jnp.sum(obs_mask_ba), 1)
         mean_err = 2.0 * result.error / n_obs.astype(dtype)
@@ -446,12 +502,14 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
 
         def commit(_):
             pts_ref = result.points.astype(dtype)
-            map_pos = state.map_pos.at[
-                jnp.where(old_ok, obs_slots, M)
-            ].set(pts_ref[: p.ba_old], mode="drop")
-            map_seen = state.map_seen.at[
-                jnp.where(old_ok, obs_slots, M)
-            ].set(state.step, mode="drop")
+            info_ref = result.point_information.astype(dtype)
+            w_old = jnp.where(old_ok, obs_slots, M)
+            map_pos = state.map_pos.at[w_old].set(
+                pts_ref[: p.ba_old], mode="drop")
+            map_info = state.map_info.at[w_old].set(
+                info_ref[: p.ba_old], mode="drop")
+            map_seen = state.map_seen.at[w_old].set(
+                state.step, mode="drop")
             # allocate new slots
             slots_new = _allocate_slots(state.map_valid, map_seen, p.ba_new)
             w_new = jnp.where(new_ok, slots_new, M)
@@ -466,6 +524,8 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             )
             map_valid = state.map_valid.at[w_new].set(True, mode="drop")
             map_seen = map_seen.at[w_new].set(state.step, mode="drop")
+            map_info = map_info.at[w_new].set(
+                info_ref[p.ba_old :], mode="drop")
             # new-frame association + refined observations
             assoc = jnp.full(K_feat, -1, jnp.int32)
             w_oldfeat = jnp.where(old_ok, old_idx, K_feat)
@@ -489,7 +549,7 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             )._replace(
                 pose_R=pose.R.astype(dtype), pose_t=pose.t.astype(dtype),
                 map_pos=map_pos, map_desc=map_desc, map_tmpl=map_tmpl,
-                map_valid=map_valid, map_seen=map_seen,
+                map_valid=map_valid, map_seen=map_seen, map_info=map_info,
                 frame_tracked=state.frame_tracked + 1,
             )
 
@@ -500,6 +560,7 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
                 mode=jnp.asarray(MODE_INITIALIZING, jnp.int32),
                 map_valid=jnp.zeros(M_, bool),
                 map_seen=jnp.full(M_, -1, jnp.int32),
+                map_info=jnp.zeros_like(state.map_info),
             )
 
         new_state = jax.lax.cond(ok, commit, reset, None)
@@ -508,6 +569,7 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             success=ok, mode=new_state.mode,
             pose_R=new_state.pose_R, pose_t=new_state.pose_t,
             num_inliers=n_inl, mean_error=mean_err.astype(dtype),
+            pnp_t=pose0.t.astype(dtype),
         )
         return new_state, out
 

@@ -103,6 +103,15 @@ class BAParams(NamedTuple):
     # relative cost-decrease convergence threshold (gtsam LM default spirit)
     rel_decrease: float = 1e-8
     abs_decrease: float = 0.0
+    # marginal covariances (reference ba.cpp:127-155 Marginals) cost a full
+    # extra normal-equations build + PSD inverses; callers that discard them
+    # (the fused VO step) turn this off
+    compute_covariance: bool = True
+    # per-point 3x3 information blocks Hpp at the solution (data + prior):
+    # the recursive landmark-information filter the VO map carries so later
+    # frames can re-resolve along-ray (depth) error instead of locking it
+    # in with an isotropic prior
+    compute_point_info: bool = False
 
 
 class BAResult(NamedTuple):
@@ -113,6 +122,7 @@ class BAResult(NamedTuple):
     error: Array                # final 0.5 * sum of squared weighted residuals
     iterations: Array           # LM iterations executed
     converged: Array            # bool
+    point_information: Array | None = None  # (P, 3, 3) Hpp at the solution
 
 
 def _projection_residuals(poses: SE3, points: Array, prob: BAProblem):
@@ -310,6 +320,13 @@ def ba_solve(
         converged = jnp.logical_and(
             jnp.isfinite(new_cost), jnp.abs(cost - new_cost) < thresh
         )
+        # rejected step with saturated damping = the numerical floor of the
+        # damping schedule (typical in f32): further iterations cannot move
+        converged = jnp.logical_or(
+            converged,
+            jnp.logical_and(jnp.logical_not(accept),
+                            lam >= params.lambda_max),
+        )
         cost = jnp.where(accept, new_cost, cost)
         return poses_R, poses_t, points, lam, cost, it + 1, converged
 
@@ -332,22 +349,40 @@ def ba_solve(
     )
     poses = SE3(poses_R, poses_t)
 
-    # marginal covariances at the solution (lambda = 0)
-    Hcc, Hpp, Hcp, bc, bp = _normal_equations(poses, points, prob, axis_name)
-    _, _, S_flat, Hpp_inv, W = _schur_solve(
-        Hcc, Hpp, Hcp, bc, bp, jnp.asarray(0.0, dtype), dtype, axis_name
-    )
-    F = Hcc.shape[0]
-    jitter = jnp.asarray(jnp.finfo(dtype).eps, dtype) * (
-        1.0 + jnp.max(jnp.abs(jnp.diagonal(S_flat)))
-    )
-    Sigma_cc = linalg.inv_psd(S_flat + jitter * jnp.eye(6 * F, dtype=dtype))
-    Sigma_cc_blocks = Sigma_cc.reshape(F, 6, F, 6).transpose(0, 2, 1, 3)
-    pose_cov = Sigma_cc_blocks[jnp.arange(F), jnp.arange(F)]      # (F, 6, 6)
-    # Sigma_pp,i = Hpp_i^-1 + sum_{f g} (W_{f i})^T Sigma_cc[f,g] W_{g i}
-    point_cov = Hpp_inv + jnp.einsum(
-        "fpki,fgkl,gplj->pij", W, Sigma_cc_blocks, W
-    )
+    point_info = None
+    if params.compute_point_info and not params.compute_covariance:
+        _, point_info, _, _, _ = _normal_equations(
+            poses, points, prob, axis_name
+        )
+
+    if params.compute_covariance:
+        # marginal covariances at the solution (lambda = 0)
+        Hcc, Hpp, Hcp, bc, bp = _normal_equations(
+            poses, points, prob, axis_name
+        )
+        if params.compute_point_info:
+            point_info = Hpp
+        _, _, S_flat, Hpp_inv, W = _schur_solve(
+            Hcc, Hpp, Hcp, bc, bp, jnp.asarray(0.0, dtype), dtype, axis_name
+        )
+        F = Hcc.shape[0]
+        jitter = jnp.asarray(jnp.finfo(dtype).eps, dtype) * (
+            1.0 + jnp.max(jnp.abs(jnp.diagonal(S_flat)))
+        )
+        Sigma_cc = linalg.inv_psd(
+            S_flat + jitter * jnp.eye(6 * F, dtype=dtype)
+        )
+        Sigma_cc_blocks = Sigma_cc.reshape(F, 6, F, 6).transpose(0, 2, 1, 3)
+        pose_cov = Sigma_cc_blocks[jnp.arange(F), jnp.arange(F)]  # (F, 6, 6)
+        # Sigma_pp,i = Hpp_i^-1 + sum_{f g} (W_{f i})^T Sigma_cc[f,g] W_{g i}
+        point_cov = Hpp_inv + jnp.einsum(
+            "fpki,fgkl,gplj->pij", W, Sigma_cc_blocks, W
+        )
+    else:
+        F = prob.poses0.R.shape[0]
+        P = points.shape[0]
+        pose_cov = jnp.zeros((F, 6, 6), dtype)
+        point_cov = jnp.zeros((P, 3, 3), dtype)
     return BAResult(
         poses=poses,
         points=points,
@@ -356,4 +391,5 @@ def ba_solve(
         error=cost,
         iterations=it,
         converged=done,
+        point_information=point_info,
     )

@@ -165,6 +165,7 @@ class SfmRefineResult(NamedTuple):
     error: Array
     iterations: Array
     converged: Array
+    point_information: Array | None = None  # (N, 3, 3) when requested
 
 
 def sfm_refine(
@@ -195,16 +196,23 @@ def sfm_refine(
       translation along its initial direction — pins exactly the
       unobservable scale dof and nothing else. Preferred by the VO pipeline.
 
-    ``obs_stddev``: per-match measurement noise (scalar or (N,)) — the
-    reference derives it from the keypoint octave
-    (``visual-feature.cpp:192-207``).
+    ``obs_stddev``: per-match measurement noise — scalar, (N,) shared by
+    both frames, or (2, N) per-frame (the reference derives per-keypoint
+    noise from the octave, ``visual-feature.cpp:192-207``; per-frame
+    sigmas let template-anchored observations — exact by construction —
+    carry their true near-zero noise while tracked observations carry the
+    tracker's).
     Returns refined pose/point estimates with marginal covariances and the
     final optimization error, mirroring the reference's outputs.
     """
     dtype = points.dtype
     n = points.shape[0]
-    sig = jnp.broadcast_to(jnp.asarray(obs_stddev, dtype), (n,))
-    obs_weight = jnp.stack([1.0 / sig, 1.0 / sig])               # (2, N)
+    sig_in = jnp.asarray(obs_stddev, dtype)
+    if sig_in.ndim == 2:
+        obs_weight = 1.0 / sig_in                                # (2, N)
+    else:
+        sig = jnp.broadcast_to(sig_in, (n,))
+        obs_weight = jnp.stack([1.0 / sig, 1.0 / sig])           # (2, N)
     poses0 = SE3(
         jnp.stack([jnp.eye(3, dtype=dtype), pose2in1.R]),
         jnp.stack([jnp.zeros(3, dtype=dtype), pose2in1.t]),
@@ -254,6 +262,7 @@ def sfm_refine(
         error=result.error,
         iterations=result.iterations,
         converged=result.converged,
+        point_information=result.point_information,
     )
 
 

@@ -6,3 +6,9 @@ from mvslam_tpu.viz.export import (  # noqa: F401
     save_scene_ply as save_scene_ply,
     save_trajectory_tum as save_trajectory_tum,
 )
+from mvslam_tpu.viz.viewer import (  # noqa: F401
+    Visualizer2d as Visualizer2d,
+    Visualizer2dParams as Visualizer2dParams,
+    Visualizer3d as Visualizer3d,
+    Visualizer3dParams as Visualizer3dParams,
+)
