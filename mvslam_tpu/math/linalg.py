@@ -14,16 +14,69 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def smallest_eigvec_psd(M: Array) -> Array:
+def smallest_eigvec_psd_exact(M: Array) -> Array:
+    """Reference implementation via ``jnp.linalg.eigh`` (iterative QR —
+    accurate but slow on TPU for large batches of small matrices)."""
+    _, vecs = jnp.linalg.eigh(M)
+    return vecs[..., :, 0]
+
+
+def smallest_eigvec_psd(M: Array, iterations: int = 8) -> Array:
     """Unit eigenvector of the smallest eigenvalue of a symmetric PSD matrix.
 
     Used for homogeneous least squares ``argmin |A x|, |x|=1`` via
     ``M = A^T A`` — the TPU-friendly replacement for taking the last right
     singular vector of ``A`` (reference ``math/svd.hpp`` usage in
-    ``vision/fundamental-matrix.cpp:119-127`` and ``vision/sfm-solve.cpp:192-199``).
+    ``vision/fundamental-matrix.cpp:119-127`` and
+    ``vision/sfm-solve.cpp:192-199``).
+
+    Implementation: spectral power amplification — pure batched matmuls.
+    ``B = (c I - M) / c`` with ``c >= lambda_max`` maps the smallest
+    eigenvalue of ``M`` to the LARGEST of ``B`` (same eigenvectors);
+    ``iterations`` repeated squarings raise the separation to the
+    ``2^iterations`` power, then one matvec from each of two fixed start
+    vectors (Rayleigh-select) reads the dominant eigenvector off. No
+    cholesky / triangular solve / eigh anywhere: batched eigh on TPU runs
+    an iterative QR sequence per matrix (tens of ms for a (256, 12, 12)
+    RANSAC batch), and even batched triangular solves lower poorly inside
+    large fused programs; n x n matmuls are MXU-native. With 12 squarings
+    the effective power is 4096, separating spectral gaps down to ~0.2%%;
+    for DLT null-space extraction the gap is many orders of magnitude.
     """
-    _, vecs = jnp.linalg.eigh(M)
-    return vecs[..., :, 0]
+    dtype = M.dtype
+    n = M.shape[-1]
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    eye = jnp.eye(n, dtype=dtype)
+    # c = trace >= lambda_max for PSD M (ridge keeps B's dominant
+    # eigenvalue strictly positive even for M = 0)
+    c = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
+    c = jnp.abs(c) * (1.0 + jnp.asarray(jnp.finfo(dtype).eps, dtype)) + tiny
+    B = (c * eye - M) / c
+    iterations = max(iterations, 12) if n > 2 else iterations
+    for _ in range(iterations):
+        B = B @ B
+        # renormalize to keep the dominant eigenvalue O(1)
+        scale = jnp.max(jnp.abs(B), axis=(-2, -1), keepdims=True)
+        B = B / jnp.maximum(scale, tiny)
+
+    # two fixed pseudo-random starts guard against an unlucky orthogonal
+    # start; the better Rayleigh quotient wins
+    base = jnp.arange(1, n + 1, dtype=dtype)
+    s1 = jnp.sin(base * 12.9898) + 0.5
+    s2 = jnp.cos(base * 78.233) - 0.25
+
+    def read(s):
+        x = B @ jnp.broadcast_to(s, M.shape[:-1])[..., None]
+        x = x[..., 0]
+        return x / jnp.maximum(
+            jnp.linalg.norm(x, axis=-1, keepdims=True), tiny
+        )
+
+    x1 = read(s1)
+    x2 = read(s2)
+    r1 = jnp.einsum("...i,...ij,...j->...", x1, M, x1)
+    r2 = jnp.einsum("...i,...ij,...j->...", x2, M, x2)
+    return jnp.where((r1 <= r2)[..., None], x1, x2)
 
 
 def homogeneous_solve(A: Array) -> Array:
@@ -32,13 +85,93 @@ def homogeneous_solve(A: Array) -> Array:
     return smallest_eigvec_psd(AtA)
 
 
-def project_to_so3(M: Array) -> Array:
-    """Nearest rotation matrix (Frobenius): ``U diag(1,1,det(UV^T)) V^T``."""
+def project_to_so3_svd(M: Array) -> Array:
+    """Nearest rotation via full SVD (slow on TPU; kept as the oracle)."""
     U, _, Vt = jnp.linalg.svd(M)
     det = jnp.linalg.det(U @ Vt)
     D = jnp.ones(M.shape[:-2] + (3,), dtype=M.dtype)
     D = D.at[..., 2].set(det)
     return (U * D[..., None, :]) @ Vt
+
+
+def polar_orthogonal(M: Array, iterations: int = 7) -> Array:
+    """Orthogonal polar factor Q of ``M = Q H`` by determinant-scaled
+    Newton iteration ``X <- (g X + (g X)^-T) / 2``, ``g = |det X|^(-1/3)``
+    (Higham). Pure batched 3x3 inverses/adds — no SVD. ``det(Q) =
+    sign(det(M))``. Determinant scaling gives global fast convergence even
+    for badly conditioned inputs (plain Newton needs ~log2(1/sigma_min))."""
+    dtype = M.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny ** 0.5, dtype)
+    fro = jnp.sqrt(jnp.sum(M * M, axis=(-2, -1), keepdims=True))
+    X = M * (jnp.sqrt(jnp.asarray(3.0, dtype)) / jnp.maximum(fro, tiny))
+    for _ in range(iterations):
+        g = jnp.abs(jnp.linalg.det(X))[..., None, None]
+        g = jnp.clip(jnp.maximum(g, tiny) ** (-1.0 / 3.0), 1e-4, 1e4)
+        Xs = X * g
+        X = 0.5 * (Xs + jnp.swapaxes(inv3x3(Xs), -1, -2))
+    return X
+
+
+def eigh3x3_smallest(H: Array) -> tuple[Array, Array]:
+    """Smallest (eigenvalue, unit eigenvector) of a symmetric 3x3 batch.
+
+    Closed form: Cardano for the eigenvalues, then the eigenvector from the
+    adjugate of ``H - lambda I`` (its rows span the orthogonal complement,
+    so the cross product of the two most independent rows is the
+    eigenvector). No iterative eigensolver — batched scalar algebra only.
+    Degenerate (repeated smallest eigenvalue) inputs return an arbitrary
+    unit vector of the eigenspace, exactly like eigh would.
+    """
+    dtype = H.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny ** 0.5, dtype)
+    q = jnp.trace(H, axis1=-2, axis2=-1) / 3.0
+    A = H - q[..., None, None] * jnp.eye(3, dtype=dtype)
+    p2 = jnp.sum(A * A, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, tiny))
+    B = A / p[..., None, None]
+    detB = jnp.linalg.det(B)
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # eigenvalues of H: q + 2 p cos(phi + 2k pi / 3); smallest at k giving
+    # cos closest to -1 -> phi + 2pi/3
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    Ashift = H - lam_min[..., None, None] * jnp.eye(3, dtype=dtype)
+    # eigenvector: cross products of row pairs; pick the largest
+    r0, r1, r2 = Ashift[..., 0, :], Ashift[..., 1, :], Ashift[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c12 = jnp.cross(r1, r2)
+    c20 = jnp.cross(r2, r0)
+    cands = jnp.stack([c01, c12, c20], axis=-2)        # (..., 3, 3)
+    norms = jnp.linalg.norm(cands, axis=-1)            # (..., 3)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(
+        cands, best[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
+    nv = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # repeated eigenvalue: all cross products vanish -> any unit vector of
+    # the (>=2-dim) eigenspace works; fall back to a fixed direction
+    fallback = jnp.broadcast_to(
+        jnp.asarray([1.0, 0.0, 0.0], dtype), v.shape
+    )
+    v = jnp.where(nv > tiny, v / jnp.maximum(nv, tiny), fallback)
+    return lam_min, v
+
+
+def project_to_so3(M: Array) -> Array:
+    """Nearest rotation matrix (Frobenius): ``U diag(1,1,det(UV^T)) V^T``.
+
+    TPU-friendly: Newton polar iteration for the orthogonal factor; when
+    ``det(M) < 0`` the polar factor is a reflection and the nearest
+    *rotation* flips the singular direction with the smallest singular
+    value — recovered in closed form from ``H = Q^T M`` (no SVD/eigh
+    anywhere).
+    """
+    Q = polar_orthogonal(M)
+    H = jnp.swapaxes(Q, -1, -2) @ M                    # symmetric PSD-ish
+    _, v = eigh3x3_smallest(0.5 * (H + jnp.swapaxes(H, -1, -2)))
+    flip_R = jnp.eye(3, dtype=M.dtype) - 2.0 * v[..., :, None] * v[..., None, :]
+    detQ = jnp.linalg.det(Q)
+    return jnp.where((detQ < 0)[..., None, None], Q @ flip_R, Q)
 
 
 def solve_psd(A: Array, b: Array, jitter: float = 0.0) -> Array:

@@ -121,33 +121,40 @@ def _pose_from_dlt(R_raw: Array, t_raw: Array, X: Array, weights: Array) -> SE3:
     Scale = mean singular value of the rotation block; sign chosen so the
     (weighted) mean depth of the points is positive (cheirality).
     """
-    U, s, Vt = jnp.linalg.svd(R_raw)
-    det = jnp.linalg.det(U @ Vt)
-    D = jnp.ones(R_raw.shape[:-2] + (3,), dtype=R_raw.dtype)
-    D = D.at[..., 2].set(det)
-    R = (U * D[..., None, :]) @ Vt
-    scale = jnp.mean(s, axis=-1)
-    t = t_raw / jnp.maximum(scale, jnp.finfo(R_raw.dtype).tiny)[..., None]
-    # det correction already absorbed the sign of R; pick t/R sign by depth
+    # One Newton-polar factorization R_raw = Q H covers both sign choices:
+    # polar(f * R_raw) = (f * Q, H), mean singular value = trace(H)/3, and
+    # the nearest *rotation* to f*R_raw is f*Q when det(f*Q) > 0, else
+    # f*Q*(I - 2 v v^T) with v the smallest eigenvector of H (the batched
+    # SVDs this replaces dominated the PnP-RANSAC cost on TPU).
+    dtype = R_raw.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    Q = linalg.polar_orthogonal(R_raw)
+    H = jnp.swapaxes(Q, -1, -2) @ R_raw
+    scale = jnp.trace(H, axis1=-2, axis2=-1) / 3.0
+    _, v = linalg.eigh3x3_smallest(0.5 * (H + jnp.swapaxes(H, -1, -2)))
+    flip_R = (
+        jnp.eye(3, dtype=dtype) - 2.0 * v[..., :, None] * v[..., None, :]
+    )
+    detQ = jnp.linalg.det(Q)
+
+    def nearest_rotation(f):
+        Qf = Q * f[..., None, None]
+        return jnp.where(
+            (detQ * f > 0)[..., None, None], Qf, Qf @ flip_R
+        )
+
+    ones = jnp.ones(R_raw.shape[:-2], dtype)
+    R = nearest_rotation(ones)
+    t = t_raw / jnp.maximum(scale, tiny)[..., None]
     depth = (
         jnp.einsum("...j,...nj->...n", R[..., 2, :], X) + t[..., None, 2]
     )
     mean_depth = jnp.sum(depth * weights, axis=-1)
-    flip = jnp.where(mean_depth < 0, -1.0, 1.0)
-    # [R|t] and [-R|-t] project identically up to sign of depth; flipping
-    # both keeps the projective constraint while fixing cheirality, but the
-    # rotation must stay proper: flip = -1 means rotate 180 deg about the
-    # camera z-axis *in projective terms is not exact* — instead re-solve
-    # with the sign applied to the raw blocks before SO(3) projection.
-    R_raw2 = R_raw * flip[..., None, None]
-    t_raw2 = t_raw * flip[..., None]
-    U, s, Vt = jnp.linalg.svd(R_raw2)
-    det = jnp.linalg.det(U @ Vt)
-    D = jnp.ones(R_raw.shape[:-2] + (3,), dtype=R_raw.dtype)
-    D = D.at[..., 2].set(det)
-    R = (U * D[..., None, :]) @ Vt
-    scale = jnp.mean(s, axis=-1)
-    t = t_raw2 / jnp.maximum(scale, jnp.finfo(R_raw.dtype).tiny)[..., None]
+    flip = jnp.where(mean_depth < 0, -ones, ones)
+    # [R|t] and [-R|-t] project identically up to sign of depth: re-project
+    # with the sign applied to the raw blocks (same Q, H)
+    R = nearest_rotation(flip)
+    t = (t_raw * flip[..., None]) / jnp.maximum(scale, tiny)[..., None]
     # world-to-camera [R|t] -> camera-to-world pose
     return SE3(R, t).inverse()
 
