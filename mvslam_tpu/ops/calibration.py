@@ -52,9 +52,16 @@ def _intrinsics_from_homographies(Hs: Array) -> Array:
     v11 = _vij(Hs, 0, 0)
     v22 = _vij(Hs, 1, 1)
     Vmat = jnp.concatenate([v12, v11 - v22], axis=0)   # (2V, 6)
+    # Pixel-scale homographies make this system wildly ill-scaled (entries
+    # span ~1..1e6, so cond(V^T V) ~ 1e24): equalize row norms, then use the
+    # exact eigh null-space extractor. Calibration is an offline app run
+    # once per camera, not a hot kernel — the matmul-only amplification
+    # solver cannot resolve a 1e-8 relative spectral gap and is wrong here.
+    row_norm = jnp.linalg.norm(Vmat, axis=-1, keepdims=True)
+    Vmat = Vmat / jnp.maximum(row_norm, jnp.finfo(Hs.dtype).tiny)
     from mvslam_tpu.math import linalg
 
-    b = linalg.smallest_eigvec_psd(Vmat.T @ Vmat)      # (6,)
+    b = linalg.smallest_eigvec_psd_exact(Vmat.T @ Vmat)      # (6,)
     B11, B12, B22, B13, B23, B33 = b
     v0 = (B12 * B13 - B11 * B23) / (B11 * B22 - B12 * B12)
     lam = B33 - (B13 * B13 + v0 * (B12 * B13 - B11 * B23)) / B11
