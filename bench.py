@@ -1,8 +1,23 @@
-"""Benchmark: tsukuba visual-odometry throughput on one chip.
+"""Benchmark: tsukuba visual-odometry throughput on one chip — WITH an
+on-device accuracy gate.
 
 Prints ONE JSON line:
   {"metric": "tsukuba_frames_per_s", "value": N, "unit": "frames/s/chip",
-   "vs_baseline": N / 10.0}
+   "vs_baseline": N / 10.0, "ok": bool, ...}
+
+and exits nonzero when the chip-resident tracker misses the accuracy
+envelope (tracked < 4/5 frames or max |t - (i,0,0)| > 0.08). Speed of a
+wrong answer is not a result: the reference's own oracle is the tsukuba
+analytic trajectory (``test-visual-odometer.cpp:62,98-102``; pose at frame
+i = translation (i,0,0)), and this repo's re-derived f32 envelope is 0.08
+(see tests/test_visual_odometer.py).
+
+Extra fields:
+- ``online_fps``: single-frame-dispatch rate (one ``step`` call per frame —
+  the live-camera path) next to the scan-amortized ``replay`` rate.
+- ``ba_iters_per_s``: LM iteration rate of the sparse (fixed-degree,
+  PCG-Schur) bundle adjustment on a 256-keyframe/8k-landmark synthetic
+  window — the BASELINE.json "BA iters/s" metric.
 
 Baseline note: the reference publishes no performance numbers
 (``README.md:1-27``; BASELINE.json "published": {}). Its own FrameManager
@@ -10,11 +25,13 @@ test pins the tsukuba capture rate at 10 fps (``test-frame-manager.cpp:
 12-14,44``) — the real-time envelope the reference targets on CPU — so
 ``vs_baseline`` is reported against 10 frames/s.
 
+``--profile <dir>`` wraps the timed section in a ``jax.profiler`` trace.
 Diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -29,18 +46,59 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 TSUKUBA = "/root/reference/data/tsukuba"
+ATE_BOUND = 0.08
+MIN_TRACKED = 4
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
+def bench_ba_iters() -> float:
+    """Sparse-BA LM iteration rate on a synthetic 256-kf/8k-landmark window."""
+    import jax.numpy as jnp
+
+    from mvslam_tpu.ops import ba_sparse
+    from mvslam_tpu.parallel.synthetic import make_sequence_ba_problem
+
+    prob, _, _ = make_sequence_ba_problem(
+        jax.random.PRNGKey(0), num_frames=256, points_per_frame=32,
+        window=4, dtype=jnp.float32,
+    )
+    iters = 10
+    params = ba_sparse.SparseBAParams(
+        max_iterations=iters, cg_iterations=20, rel_decrease=0.0,
+        lambda_max=1e30,  # never early-stop: measure the full iteration rate
+    )
+    solve = jax.jit(lambda p: ba_sparse.sparse_ba_solve(p, params))
+    res = solve(prob)
+    jax.block_until_ready(res.points)          # compile + warmup
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        res = solve(prob)
+        jax.block_until_ready(res.points)
+    dt = time.time() - t0
+    it_total = reps * int(res.iterations)
+    rate = it_total / dt if dt > 0 else 0.0
+    log(f"ba bench: {int(res.iterations)} iters/solve x {reps}, "
+        f"{dt:.2f}s -> {rate:.1f} LM iters/s "
+        f"(256 kf, {prob.points0.shape[0]} landmarks, D=4)")
+    return rate
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None,
+                    help="directory for a jax.profiler trace of the timed runs")
+    ap.add_argument("--skip-ba-bench", action="store_true")
+    args = ap.parse_args()
+
     import jax.numpy as jnp
     import numpy as np
 
     from mvslam_tpu.frontend.vo_jit import (
-        VoJitParams, make_vo_replay, vo_init_state,
+        VoJitParams, make_vo_replay, make_vo_step, vo_init_state,
     )
     from mvslam_tpu.io import load_image_grayscale
     from mvslam_tpu.ops.camera import PinholeCamera
@@ -56,6 +114,7 @@ def main() -> None:
     n_img = images.shape[0]
     params = VoJitParams()
     replay = make_vo_replay(params)
+    step = make_vo_step(params)
 
     state0 = jax.device_put(vo_init_state(params))
 
@@ -76,6 +135,24 @@ def main() -> None:
         f"{float(outs.pose_t[i, 2]):.3f})]"
         for i in range(n_img)))
 
+    # -- accuracy gate (reference oracle: pose at frame i = (i-1, 0, 0) in
+    # the bootstrap frame; frames are 1-indexed here, frame 1 bootstraps) --
+    tracked = int(state.frame_tracked)
+    t_dev = np.asarray(outs.pose_t)
+    gt = np.stack([np.arange(n_img, dtype=np.float64),
+                   np.zeros(n_img), np.zeros(n_img)], axis=1)
+    ok_frames = np.asarray(outs.success).astype(bool)
+    ate = np.abs(t_dev - gt)[ok_frames]
+    ate_max = float(np.max(ate)) if ate.size else float("inf")
+    accuracy_ok = tracked >= MIN_TRACKED and ate_max <= ATE_BOUND
+    log(f"accuracy: tracked {tracked}/{n_img}, max|t-gt| {ate_max:.4f} "
+        f"(bound {ATE_BOUND}) -> {'OK' if accuracy_ok else 'FAIL'}")
+
+    prof = None
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+        prof = args.profile
+
     # timed passes over the full 5-frame pipeline (bootstrap + tracking),
     # one device dispatch per pass (lax.scan over the image batch)
     passes = 40
@@ -90,6 +167,28 @@ def main() -> None:
         f"tracked {int(state.frame_tracked)}/{n_img} last pass, "
         f"map {int(state.map_valid.sum())}")
 
+    # online mode: one dispatch per frame (live-camera latency path)
+    st = state0
+    for i in range(n_img):                      # warmup the step compile
+        st, _ = step(st, images[i], K_inv, focal)
+    jax.block_until_ready(st.pose_t)
+    t0 = time.time()
+    online_frames = 0
+    for _ in range(passes):
+        st = state0
+        for i in range(n_img):
+            st, _ = step(st, images[i], K_inv, focal)
+        jax.block_until_ready(st.pose_t)
+        online_frames += n_img
+    online_fps = online_frames / (time.time() - t0)
+    log(f"online: {online_fps:.1f} frames/s (single-frame dispatch)")
+
+    if prof:
+        jax.profiler.stop_trace()
+        log(f"profile trace written to {prof}")
+
+    ba_rate = 0.0 if args.skip_ba_bench else bench_ba_iters()
+
     # "mode": scan-based dataset replay amortizing host dispatch over the
     # 5-frame sequence (NOT the online single-frame dispatch rate) — keeps
     # round-over-round BENCH comparisons methodology-explicit.
@@ -99,8 +198,14 @@ def main() -> None:
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 10.0, 3),
         "mode": "replay",
+        "ok": bool(accuracy_ok),
+        "tracked": tracked,
+        "ate_max": round(ate_max, 4),
+        "online_fps": round(online_fps, 3),
+        "ba_iters_per_s": round(ba_rate, 2),
     }))
+    return 0 if accuracy_ok else 1
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -27,6 +27,8 @@ jit-compiled JAX/XLA/Pallas array programs:
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # SLAM geometry is precision-critical: TPU's default bf16 matmul passes turn
@@ -34,6 +36,13 @@ import jax as _jax
 # restores ~1e-7). Hot throughput kernels opt into bf16/int8 explicitly via
 # preferred_element_type in their pallas/dot calls.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# the TPU runtime environment pins JAX_PLATFORMS at the site level, so that
+# env var cannot express "run this app on CPU". MVSLAM_PLATFORM is this
+# package's own override (used by subprocess tests and CPU-only tooling);
+# jax honors config updates over the env default.
+if _os.environ.get("MVSLAM_PLATFORM"):
+    _jax.config.update("jax_platforms", _os.environ["MVSLAM_PLATFORM"])
 
 from mvslam_tpu import config as config  # noqa: F401, E402
 from mvslam_tpu.math import lie as lie  # noqa: F401

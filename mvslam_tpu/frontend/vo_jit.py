@@ -14,9 +14,11 @@ State machine (reference INITIALIZING/TRACKING, ``visual-odometer.hpp:
 89-93``) as ``lax.switch`` over three modes:
 
 - 0 EMPTY: record the frame, wait for a second one;
-- 1 INITIALIZING: two-view bootstrap against the previous frame with the
-  reference's quality gates (consecutive-pair window; the host class also
-  supports the deeper frame queue);
+- 1 INITIALIZING: two-view bootstrap against a RING of the last
+  ``init_window`` frames, all slots solved in one vmapped batch and the
+  oldest (longest-baseline) passing slot accepted — the reference's
+  10-frame initialization queue (``visual-odometer.cpp:273-346``) without
+  its sequential pair scan;
 - 2 TRACKING: map association -> KLT -> PnP-RANSAC -> triangulate new
   points -> anchored two-frame BA -> gated commit, or reset to mode 1.
 
@@ -51,6 +53,11 @@ class VoJitParams(NamedTuple):
     map_capacity: int = 1024
     ba_old: int = 384            # map points per BA
     ba_new: int = 128            # fresh triangulations per BA
+    # bootstrap window: ring of previous frames tried longest-baseline
+    # (oldest) first, reference visual-odometer.cpp:273-346 (queue of 10).
+    # All slots are evaluated in one vmapped batch; 4 slots covers a
+    # several-frame stall/garbage gap at bounded compile cost.
+    init_window: int = 4
     max_match_distance: int = 64
     ransac_hypotheses: int = 256
     max_error_sq: float = sfm.MAX_ERROR_SQ       # pixel-ish; / focal^2
@@ -102,6 +109,16 @@ class VoJitState(NamedTuple):
     lf_obs_rays: Array          # (K, 3) refined observations
     lf_obs_sigma: Array         # (K,)
     lf_assoc: Array             # (K,) int32 feature -> map slot (-1 none)
+    # bootstrap ring: B previous frames (INITIALIZING window)
+    rb_xy: Array                # (B, K, 2)
+    rb_desc: Array              # (B, K, 8) uint32
+    rb_mask: Array              # (B, K) bool
+    rb_rays: Array              # (B, K, 3)
+    rb_sigma: Array             # (B, K)
+    rb_tmpl: Array              # (B, K, W, W)
+    rb_valid: Array             # (B,) bool
+    rb_step: Array              # (B,) int32 — step when stored (age order)
+    rb_pos: Array               # () int32 — next write slot (cyclic)
     # stats
     frame_total: Array          # () int32
     frame_tracked: Array        # () int32
@@ -122,6 +139,7 @@ def vo_init_state(params: VoJitParams, dtype=jnp.float32,
     K = params.orb.max_features
     M = params.map_capacity
     W = klt.WINDOW
+    B = params.init_window
     return VoJitState(
         mode=jnp.asarray(MODE_EMPTY, jnp.int32),
         step=jnp.asarray(0, jnp.int32),
@@ -143,6 +161,15 @@ def vo_init_state(params: VoJitParams, dtype=jnp.float32,
         lf_obs_rays=jnp.zeros((K, 3), dtype),
         lf_obs_sigma=jnp.ones(K, dtype),
         lf_assoc=jnp.full(K, -1, jnp.int32),
+        rb_xy=jnp.zeros((B, K, 2), dtype),
+        rb_desc=jnp.zeros((B, K, 8), jnp.uint32),
+        rb_mask=jnp.zeros((B, K), bool),
+        rb_rays=jnp.zeros((B, K, 3), dtype),
+        rb_sigma=jnp.ones((B, K), dtype),
+        rb_tmpl=jnp.zeros((B, K, W, W), dtype),
+        rb_valid=jnp.zeros(B, bool),
+        rb_step=jnp.full(B, -1, jnp.int32),
+        rb_pos=jnp.asarray(0, jnp.int32),
         frame_total=jnp.asarray(0, jnp.int32),
         frame_tracked=jnp.asarray(0, jnp.int32),
     )
@@ -182,6 +209,31 @@ def _store_frame(state: VoJitState, f: _FrameArrays,
     )
 
 
+def _ring_push(state: VoJitState, f: _FrameArrays) -> VoJitState:
+    """Store a frame in the bootstrap ring (cyclic, overwrites oldest)."""
+    i = state.rb_pos
+    return state._replace(
+        rb_xy=state.rb_xy.at[i].set(f.xy),
+        rb_desc=state.rb_desc.at[i].set(f.desc),
+        rb_mask=state.rb_mask.at[i].set(f.mask),
+        rb_rays=state.rb_rays.at[i].set(f.rays),
+        rb_sigma=state.rb_sigma.at[i].set(f.sigma),
+        rb_tmpl=state.rb_tmpl.at[i].set(f.tmpl),
+        rb_valid=state.rb_valid.at[i].set(True),
+        rb_step=state.rb_step.at[i].set(state.step),
+        rb_pos=(state.rb_pos + 1) % state.rb_valid.shape[0],
+    )
+
+
+def _ring_clear(state: VoJitState) -> VoJitState:
+    B = state.rb_valid.shape[0]
+    return state._replace(
+        rb_valid=jnp.zeros(B, bool),
+        rb_step=jnp.full(B, -1, jnp.int32),
+        rb_pos=jnp.asarray(0, jnp.int32),
+    )
+
+
 def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
     """Build (jitted step, raw traceable step) for ``(state, image) -> ...``."""
     p = params
@@ -206,7 +258,7 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
 
     # ---- mode 0: first frame ---------------------------------------------
     def do_empty(state, f, smooth, K_inv, focal):
-        new_state = _store_frame(state, f)._replace(
+        new_state = _ring_push(_store_frame(state, f), f)._replace(
             mode=jnp.asarray(MODE_INITIALIZING, jnp.int32)
         )
         out = VoStepOut(
@@ -219,135 +271,161 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
         )
         return new_state, out
 
-    # ---- mode 1: bootstrap vs previous frame ------------------------------
+    # ---- mode 1: bootstrap vs the frame-ring window -----------------------
     def do_init(state, f, smooth, K_inv, focal):
+        """Two-view bootstrap against ALL ring frames at once (vmapped),
+        accepting the oldest (longest-baseline) slot that passes the
+        quality gates — the reference's 10-frame initialization queue
+        semantics (``visual-odometer.cpp:273-346``) as one batched solve
+        instead of a sequential pair scan."""
         dtype = state.pose_t.dtype
+        B = p.init_window
         key, k1 = jax.random.split(state.key)
-        m = matching.match_features(
-            state.lf_desc, state.lf_mask, f.desc, f.mask,
-            max_distance=p.max_match_distance,
-        )
-        if p.use_klt:
-            kr = klt.klt_track(state.lf_tmpl, smooth, f.xy[m.idx], m.mask)
-            xy2 = kr.xy
-            obs_sigma = jnp.where(
-                kr.valid, p.klt_sigma_px / focal, state.lf_sigma
-            )
-        else:
-            xy2 = f.xy[m.idx]
-            obs_sigma = f.sigma[m.idx]     # already focal-normalized
-        ones = jnp.ones_like(xy2[..., :1])
-        r2 = jnp.concatenate([xy2, ones], axis=-1) @ K_inv.T
+        keys = jax.random.split(k1, B)
+        thr_sq = p.max_error_sq / (focal * focal)
         # the RANSAC threshold is focal-scaled and ``focal`` is traced, so
         # call the solver pieces directly instead of the static SfmParams
+        from mvslam_tpu.ops import epipolar
         from mvslam_tpu.ops import ransac as ransac_mod
 
-        thr_sq = p.max_error_sq / (focal * focal)
-        rr = ransac_mod.essential_ransac(
-            state.lf_rays, r2, m.mask, k1,
-            num_hypotheses=p.ransac_hypotheses,
-            threshold_sq=thr_sq,
-        )
-        pose2in1, points, point_mask = sfm.recover_pose_and_points(
-            rr.model, state.lf_rays, r2, rr.inlier_mask
-        )
-        from mvslam_tpu.ops import epipolar
+        def try_slot(rb_xy, rb_desc, rb_mask, rb_rays, rb_sigma, rb_tmpl, kb):
+            m = matching.match_features(
+                rb_desc, rb_mask, f.desc, f.mask,
+                max_distance=p.max_match_distance,
+            )
+            if p.use_klt:
+                kr = klt.klt_track(rb_tmpl, smooth, f.xy[m.idx], m.mask)
+                xy2 = kr.xy
+                # on KLT failure the observation is the matched NEW-frame
+                # feature position, so the fallback sigma is that feature's
+                obs_sigma = jnp.where(
+                    kr.valid, p.klt_sigma_px / focal, f.sigma[m.idx]
+                )
+            else:
+                xy2 = f.xy[m.idx]
+                obs_sigma = f.sigma[m.idx]     # already focal-normalized
+            ones = jnp.ones_like(xy2[..., :1])
+            r2 = jnp.concatenate([xy2, ones], axis=-1) @ K_inv.T
+            rr = ransac_mod.essential_ransac(
+                rb_rays, r2, m.mask, kb,
+                num_hypotheses=p.ransac_hypotheses,
+                threshold_sq=thr_sq,
+            )
+            pose2in1, points, point_mask = sfm.recover_pose_and_points(
+                rr.model, rb_rays, r2, rr.inlier_mask
+            )
+            pose2in1 = epipolar.refine_relative_pose_sampson(
+                pose2in1, rb_rays, r2, rr.inlier_mask.astype(dtype)
+            )
+            points, point_mask = sfm.sfm_triangulate(
+                rb_rays, r2, rr.inlier_mask, pose2in1
+            )
+            # base-frame observations are template centers — exact by
+            # construction (the triangulated point is the scene point imaged
+            # there); new-frame observations carry the tracker's noise
+            if p.use_klt:
+                sigma1 = jnp.full_like(obs_sigma, p.template_sigma_px / focal)
+                sigma1 = jnp.where(kr.valid, sigma1, rb_sigma)
+            else:
+                sigma1 = rb_sigma
+            ref = sfm.sfm_refine(
+                rb_rays, r2, point_mask, pose2in1, points,
+                obs_stddev=jnp.stack([sigma1, obs_sigma]), gauge="scale_only",
+                ba_params=ba_mod.BAParams(max_iterations=p.ba_iterations,
+                                          compute_covariance=False,
+                                          compute_point_info=True),
+            )
+            n_obs = jnp.maximum(2 * jnp.sum(point_mask), 1)
+            mean_err = 2.0 * ref.error / n_obs.astype(dtype)
+            T = ref.pose2in1
+            w_rot = jnp.max(jnp.abs(T.log()[3:]))
+            t_norm = jnp.maximum(jnp.linalg.norm(T.t), 1e-9)
+            tz = jnp.abs(T.t[2]) / t_norm
+            n_inl = rr.num_inliers
+            # reference check_image_pair gates (visual-odometer.cpp:348-382):
+            # inlier count, refined error, rotation, z-translation — it does
+            # NOT gate on LM convergence (gtsam LM runs to its cap too)
+            ok = (
+                (n_inl >= p.min_pair_inliers)
+                & (mean_err <= p.max_pair_mean_error)
+                & (w_rot <= p.max_pair_rotation)
+                & (tz <= p.max_pair_z_translation)
+                & jnp.all(jnp.isfinite(T.t))
+            )
+            return dict(
+                ok=ok, R=T.R.astype(dtype), t=T.t.astype(dtype),
+                points=ref.points.astype(dtype),
+                point_info=ref.point_information.astype(dtype),
+                point_mask=point_mask, m_idx=m.idx.astype(jnp.int32),
+                r2=r2.astype(dtype), obs_sigma=obs_sigma.astype(dtype),
+                n_inl=n_inl, mean_err=mean_err.astype(dtype),
+            )
 
-        pose2in1 = epipolar.refine_relative_pose_sampson(
-            pose2in1, state.lf_rays, r2, rr.inlier_mask.astype(dtype)
+        cand = jax.vmap(try_slot)(
+            state.rb_xy, state.rb_desc, state.rb_mask, state.rb_rays,
+            state.rb_sigma, state.rb_tmpl, keys,
         )
-        points, point_mask = sfm.sfm_triangulate(
-            state.lf_rays, r2, rr.inlier_mask, pose2in1
-        )
-        # frame-1 observations are template centers — exact by construction
-        # (the triangulated point is the scene point imaged there); frame-2
-        # observations carry the tracker's noise
-        if p.use_klt:
-            sigma1 = jnp.full_like(obs_sigma, p.template_sigma_px / focal)
-            sigma1 = jnp.where(kr.valid, sigma1, state.lf_sigma)
-        else:
-            sigma1 = state.lf_sigma
-        ref = sfm.sfm_refine(
-            state.lf_rays, r2, point_mask, pose2in1, points,
-            obs_stddev=jnp.stack([sigma1, obs_sigma]), gauge="scale_only",
-            ba_params=ba_mod.BAParams(max_iterations=p.ba_iterations,
-                                      compute_covariance=False,
-                                      compute_point_info=True),
-        )
-        n_obs = jnp.maximum(2 * jnp.sum(point_mask), 1)
-        mean_err = 2.0 * ref.error / n_obs.astype(dtype)
-        T = ref.pose2in1
-        w_rot = jnp.max(jnp.abs(T.log()[3:]))
-        t_norm = jnp.maximum(jnp.linalg.norm(T.t), 1e-9)
-        tz = jnp.abs(T.t[2]) / t_norm
-        n_inl = rr.num_inliers
-        # reference check_image_pair gates (visual-odometer.cpp:348-382):
-        # inlier count, refined error, rotation, z-translation — it does NOT
-        # gate on LM convergence (gtsam LM runs to its iteration cap too)
-        ok = (
-            (n_inl >= p.min_pair_inliers)
-            & (mean_err <= p.max_pair_mean_error)
-            & (w_rot <= p.max_pair_rotation)
-            & (tz <= p.max_pair_z_translation)
-            & jnp.all(jnp.isfinite(T.t))
-        )
+        ok_b = cand["ok"] & state.rb_valid
+        age = state.step - state.rb_step
+        score = jnp.where(ok_b, age, -1)
+        b = jnp.argmax(score).astype(jnp.int32)   # oldest passing slot
+        any_ok = jnp.any(ok_b)
+        sel = jax.tree_util.tree_map(lambda x: x[b], cand)
 
         def accept(_):
-            # seed map: slot i <- base feature i (masked)
+            point_mask = sel["point_mask"]
+            # seed map: slot i <- base feature i (masked); base frame = the
+            # selected ring frame, which becomes the world frame
             slots = jnp.arange(K_feat)
-            map_pos = jnp.zeros((M, 3), dtype).at[slots].set(
-                ref.points.astype(dtype)
-            )
+            map_pos = jnp.zeros((M, 3), dtype).at[slots].set(sel["points"])
             map_desc = jnp.zeros((M, 8), jnp.uint32).at[slots].set(
-                state.lf_desc
+                state.rb_desc[b]
             )
-            map_tmpl = jnp.zeros((M,) + state.lf_tmpl.shape[1:], dtype).at[
+            map_tmpl = jnp.zeros((M,) + state.rb_tmpl.shape[2:], dtype).at[
                 slots
-            ].set(state.lf_tmpl)
+            ].set(state.rb_tmpl[b])
             map_valid = jnp.zeros(M, bool).at[slots].set(point_mask)
             map_seen = jnp.full(M, -1, jnp.int32).at[slots].set(
                 jnp.where(point_mask, state.step, -1)
             )
             map_info = jnp.zeros((M, 3, 3), dtype).at[slots].set(
-                jnp.where(point_mask[:, None, None],
-                          ref.point_information.astype(dtype), 0.0)
+                jnp.where(point_mask[:, None, None], sel["point_info"], 0.0)
             )
-            # association for the NEW frame: feature m.idx[i] -> slot i
-            write_to = jnp.where(point_mask, m.idx, K_feat)  # drop masked
+            # association for the NEW frame: feature m_idx[i] -> slot i
+            write_to = jnp.where(point_mask, sel["m_idx"], K_feat)
             assoc = jnp.full(K_feat, -1, jnp.int32).at[write_to].set(
                 jnp.where(point_mask, slots, -1), mode="drop"
             )
             obs_rays = jnp.zeros((K_feat, 3), dtype).at[write_to].set(
-                r2, mode="drop"
+                sel["r2"], mode="drop"
             )
-            obs_rays = jnp.where(
-                (assoc >= 0)[:, None], obs_rays, f.rays
-            )
+            obs_rays = jnp.where((assoc >= 0)[:, None], obs_rays, f.rays)
             obs_sig = jnp.full((K_feat,), 1.0, dtype).at[write_to].set(
-                obs_sigma, mode="drop"
+                sel["obs_sigma"], mode="drop"
             )
             obs_sig = jnp.where(assoc >= 0, obs_sig, f.sigma)
             ns = _store_frame(
                 state, f, obs_rays=obs_rays, obs_sigma=obs_sig, assoc=assoc
             )._replace(
                 mode=jnp.asarray(MODE_TRACKING, jnp.int32),
-                pose_R=T.R.astype(dtype), pose_t=T.t.astype(dtype),
+                pose_R=sel["R"], pose_t=sel["t"],
                 map_pos=map_pos, map_desc=map_desc, map_tmpl=map_tmpl,
                 map_valid=map_valid, map_seen=map_seen, map_info=map_info,
                 frame_tracked=state.frame_tracked + 1,
             )
-            return ns
+            return _ring_clear(ns)
 
         def reject(_):
-            return _store_frame(state, f)  # slide the 1-frame window
+            # slide the window: the new frame joins the ring
+            return _ring_push(_store_frame(state, f), f)
 
-        new_state = jax.lax.cond(ok, accept, reject, None)
+        new_state = jax.lax.cond(any_ok, accept, reject, None)
         new_state = new_state._replace(key=key)
         out = VoStepOut(
-            success=ok, mode=new_state.mode,
+            success=any_ok, mode=new_state.mode,
             pose_R=new_state.pose_R, pose_t=new_state.pose_t,
-            num_inliers=n_inl, mean_error=mean_err.astype(dtype),
-            pnp_t=T.t.astype(dtype),
+            num_inliers=sel["n_inl"], mean_error=sel["mean_err"],
+            pnp_t=sel["t"],
         )
         return new_state, out
 
@@ -370,28 +448,12 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
         ones = jnp.ones_like(obs_xy[..., :1])
         obs_rays = jnp.concatenate([obs_xy, ones], axis=-1) @ K_inv.T
         map_pts = state.map_pos[m.idx]
-        # 2) PnP-RANSAC (inlined: the reprojection threshold is focal-scaled
-        #    and focal is traced, so PnpParams statics don't fit)
+        # 2) P3P-RANSAC (core fn: the reprojection threshold is focal-scaled
+        #    and focal is traced, so the static PnpParams wrapper doesn't fit)
         thr_sq = reprojection_sq_threshold(focal)
-        from mvslam_tpu.ops import ransac as ransac_mod
-
-        idx6 = ransac_mod.sample_minimal_sets(k1, m.mask, p.pnp_hypotheses, 6)
-        Xs = map_pts[idx6]
-        rs = obs_rays[idx6]
-        w6 = jnp.ones(idx6.shape, dtype)
-        R_raw, t_raw = pnp._pose_dlt(Xs, rs, w6)
-        poses_h = pnp._pose_from_dlt(R_raw, t_raw, Xs, w6)
-        errs = pnp.reprojection_error_sq(
-            SE3(poses_h.R[:, None], poses_h.t[:, None]),
-            map_pts[None], obs_rays[None],
+        pose0, best_inl = pnp.pnp_ransac_core(
+            map_pts, obs_rays, m.mask, k1, p.pnp_hypotheses, thr_sq
         )
-        best, inl, _ = ransac_mod._select_best(errs, m.mask, thr_sq)
-        pose0 = SE3(poses_h.R[best], poses_h.t[best])
-        best_inl = inl[best]
-        pose0 = pnp.refine_pose_gn(pose0, map_pts, obs_rays,
-                                   best_inl.astype(dtype))
-        err_p = pnp.reprojection_error_sq(pose0, map_pts, obs_rays)
-        best_inl = jnp.logical_and(err_p < thr_sq, m.mask)
         n_inl = jnp.sum(best_inl).astype(jnp.int32)
 
         # 3) triangulate new points vs previous frame
@@ -556,12 +618,13 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
         def reset(_):
             # back to INITIALIZING keeping the new frame (reference reset)
             M_ = state.map_valid.shape[0]
-            return _store_frame(state, f)._replace(
+            ns = _store_frame(state, f)._replace(
                 mode=jnp.asarray(MODE_INITIALIZING, jnp.int32),
                 map_valid=jnp.zeros(M_, bool),
                 map_seen=jnp.full(M_, -1, jnp.int32),
                 map_info=jnp.zeros_like(state.map_info),
             )
+            return _ring_push(_ring_clear(ns), f)
 
         new_state = jax.lax.cond(ok, commit, reset, None)
         new_state = new_state._replace(key=key)

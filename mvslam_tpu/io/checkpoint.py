@@ -133,3 +133,43 @@ def load_checkpoint(path: str, vo: VisualOdometer) -> VisualOdometer:
         vo._last_templates = z["last_templates"].copy()
         vo.state = VoState.TRACKING
     return vo
+
+
+# ---------------------------------------------------------------------------
+# Fused (vo_jit) tracker state: the state is already one flat pytree of
+# fixed-shape arrays, so checkpointing is a field->array dump.
+# ---------------------------------------------------------------------------
+
+JIT_SCHEMA_VERSION = 1
+
+
+def save_vo_jit_state(state, path: str) -> None:
+    """Serialize a :class:`~mvslam_tpu.frontend.vo_jit.VoJitState` (.npz)."""
+    arrays = {name: np.asarray(leaf) for name, leaf in zip(
+        type(state)._fields, state)}
+    np.savez_compressed(
+        path, meta=json.dumps({"schema": JIT_SCHEMA_VERSION}), **arrays
+    )
+
+
+def load_vo_jit_state(path: str, template):
+    """Restore a VoJitState saved by :func:`save_vo_jit_state`.
+
+    ``template``: a state from ``vo_init_state`` with the same params —
+    shapes/dtypes are validated against it so a capacity mismatch fails
+    loudly instead of mistracking.
+    """
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    if meta["schema"] != JIT_SCHEMA_VERSION:
+        raise ValueError(f"unsupported vo_jit checkpoint schema {meta['schema']}")
+    leaves = []
+    for name, ref in zip(type(template)._fields, template):
+        arr = z[name]
+        if tuple(arr.shape) != tuple(ref.shape):
+            raise ValueError(
+                f"checkpoint field {name!r} shape {arr.shape} != params "
+                f"shape {tuple(ref.shape)}"
+            )
+        leaves.append(jnp.asarray(arr, dtype=ref.dtype))
+    return type(template)(*leaves)

@@ -150,6 +150,13 @@ def so3_from_rpy(roll: Array, pitch: Array, yaw: Array, dtype=None) -> Array:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def so3_adjoint(R: Array) -> Array:
+    """Adjoint of SO(3) is the rotation matrix itself:
+    ``R exp(w^) R^T = exp((R w)^)`` (reference ``SO3::adjoint``,
+    ``math/lie-group.hpp:124-136``)."""
+    return R
+
+
 def so3_rpy(R: Array) -> tuple[Array, Array, Array]:
     """(roll, pitch, yaw) extraction (reference ``lie-group.hpp:98-111``)."""
     roll = jnp.arctan2(R[..., 2, 1], R[..., 2, 2])
@@ -239,6 +246,20 @@ class SE3(NamedTuple):
         V_inv = eye - 0.5 * K + G[..., None, None] * (K @ K)
         u = jnp.einsum("...ij,...j->...i", V_inv, self.t)
         return jnp.concatenate([u, w], axis=-1)
+
+    def adjoint(self) -> Array:
+        """(..., 6, 6) adjoint: ``T exp(xi) T^-1 = exp(adjoint() @ xi)``.
+
+        Translation-first tangent layout ``[u, w]`` (reference
+        ``SE3::adjoint``, ``math/lie-group.hpp:236-244``):
+        ``[[R, skew(t) R], [0, R]]``. Transports twists — and, as
+        ``Ad S Ad^T``, 6x6 covariances — between frames.
+        """
+        tR = skew(self.t) @ self.R
+        zero = jnp.zeros_like(self.R)
+        top = jnp.concatenate([self.R, tR], axis=-1)
+        bot = jnp.concatenate([zero, self.R], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
 
     # -- representation --------------------------------------------------------
     def matrix(self) -> Array:

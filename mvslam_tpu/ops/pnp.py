@@ -3,12 +3,12 @@
 Rebuild of ``pnp_solve`` / ``pnp_refine`` (reference
 ``vision/pnp-solve.cpp:16-104``, ``vision/pnp-refine.cpp:16-108``). The
 reference delegates to ``cv::solvePnPRansac`` (P3P, 100 iterations); the
-TPU-native design runs a batched-hypothesis RANSAC over a *linear* 6-point
-DLT minimal solver — a 12x12 homogeneous solve per hypothesis, all
-hypotheses in one ``eigh`` batch, followed by SO(3) projection and a
-cheirality-consistent scale/sign fix. Linear solves trade a slightly larger
-minimal sample for branch-free batching; the inlier refit plus the BA-based
-``pnp_refine`` recovers the accuracy.
+TPU-native design runs a batched-hypothesis RANSAC over a closed-form
+Grunert P3P minimal solver (``ops/p3p.py`` — planar-safe, scalar algebra
+per hypothesis, all hypotheses and all 4 root candidates scored in one
+batched pass), then a linear 6+-point DLT refit on the consensus set
+(guarded: a planar consensus set simply loses the inlier comparison) and a
+fixed-iteration Gauss-Newton geometric polish.
 
 Pose convention: returned poses are camera-to-world (the pose of the camera
 in the world/map frame), matching the reference's ``pose`` output.
@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from mvslam_tpu.math import linalg
 from mvslam_tpu.math.lie import SE3, skew
 from mvslam_tpu.ops import ba as ba_mod
+from mvslam_tpu.ops import p3p as p3p_mod
 from mvslam_tpu.ops import ransac as ransac_mod
 
 Array = jax.Array
@@ -217,42 +218,63 @@ def reprojection_error_sq(pose: SE3, X: Array, r: Array) -> Array:
     return jnp.where(z > 0, err, jnp.asarray(jnp.inf, X.dtype))
 
 
-def pnp_solve(
+def pnp_ransac_core(
     X: Array,
     r: Array,
     mask: Array,
     key: Array,
-    params: PnpParams = PnpParams(),
-) -> PnpResult:
-    """Camera pose from 3D-2D matches by batched DLT-RANSAC.
+    num_hypotheses: int,
+    thr_sq,
+    refit: bool = True,
+) -> tuple[SE3, Array]:
+    """P3P-RANSAC + guarded DLT refit + Gauss-Newton polish.
 
-    X: (N, 3) world points; r: (N, 3) homogeneous ideal-plane observations;
-    mask: (N,) valid correspondences. Reference ``pnp_solve``
-    (``vision/pnp-solve.cpp:16-104``): P3P-RANSAC, 100 iters, reprojection
-    threshold 0.05, >= 7 points.
+    ``thr_sq`` may be a traced scalar (the tracker's threshold is
+    focal-scaled and focal is traced). Returns (pose, inlier_mask).
     """
     dtype = X.dtype
-    thr_sq = params.threshold * params.threshold
-    idx = ransac_mod.sample_minimal_sets(key, mask, params.num_hypotheses, 6)
-    Xs = X[idx]                                              # (H, 6, 3)
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny ** 0.5, dtype)
+    # minimal sample of 3 for P3P (the reference's cv::solvePnPRansac(P3P)
+    # samples 4 and disambiguates with the 4th; scoring every candidate
+    # against all N points subsumes that and is one batched pass here)
+    idx = ransac_mod.sample_minimal_sets(key, mask, num_hypotheses, 3)
+    Xs = X[idx]                                              # (H, 3, 3)
     rs = r[idx]
-    w = jnp.ones(idx.shape, dtype=dtype)
-    R_raw, t_raw = _pose_dlt(Xs, rs, w)
-    poses = _pose_from_dlt(R_raw, t_raw, Xs, w)              # (H,) SE3 batch
+    bear = rs / jnp.maximum(
+        jnp.linalg.norm(rs, axis=-1, keepdims=True), tiny
+    )
+    cand, cand_valid = p3p_mod.p3p_solve(Xs, bear)           # (H, 12) SE3
+    H = num_hypotheses
+    C = cand_valid.shape[-1]
+    poses = SE3(cand.R.reshape(H * C, 3, 3), cand.t.reshape(H * C, 3))
+    flat_valid = cand_valid.reshape(H * C)
     errors = reprojection_error_sq(
         SE3(poses.R[:, None], poses.t[:, None]), X[None], r[None]
-    )                                                         # (H, N)
+    )                                                         # (HC, N)
+    errors = jnp.where(
+        flat_valid[:, None], errors, jnp.asarray(jnp.inf, dtype)
+    )
     best, inl, _ = ransac_mod._select_best(errors, mask, thr_sq)
     pose = SE3(poses.R[best], poses.t[best])
     best_inl = inl[best]
 
-    if params.refit:
+    if refit:
+        # linear 6+-point DLT refit over the consensus set; degenerate
+        # (planar) consensus sets yield a garbage pose that simply loses the
+        # inlier-count comparison below, so the refit is safe to attempt
+        # unconditionally (NaN errors compare False -> zero inliers).
         wf = best_inl.astype(dtype)
         R_raw, t_raw = _pose_dlt(X, r, wf)
         pose_fit = _pose_from_dlt(R_raw, t_raw, X, wf)
+        fin = jnp.all(jnp.isfinite(pose_fit.R)) & jnp.all(
+            jnp.isfinite(pose_fit.t))
+        pose_fit = SE3(
+            jnp.where(fin, pose_fit.R, pose.R),
+            jnp.where(fin, pose_fit.t, pose.t),
+        )
         err_fit = reprojection_error_sq(pose_fit, X, r)
         inl_fit = jnp.logical_and(err_fit < thr_sq, mask)
-        better = jnp.sum(inl_fit) >= jnp.sum(best_inl)
+        better = jnp.logical_and(fin, jnp.sum(inl_fit) > jnp.sum(best_inl))
         pose = SE3(
             jnp.where(better, pose_fit.R, pose.R),
             jnp.where(better, pose_fit.t, pose.t),
@@ -263,7 +285,27 @@ def pnp_solve(
     pose = refine_pose_gn(pose, X, r, best_inl.astype(dtype))
     err = reprojection_error_sq(pose, X, r)
     best_inl = jnp.logical_and(err < thr_sq, mask)
+    return pose, best_inl
 
+
+def pnp_solve(
+    X: Array,
+    r: Array,
+    mask: Array,
+    key: Array,
+    params: PnpParams = PnpParams(),
+) -> PnpResult:
+    """Camera pose from 3D-2D matches by batched P3P-RANSAC.
+
+    X: (N, 3) world points; r: (N, 3) homogeneous ideal-plane observations;
+    mask: (N,) valid correspondences. Reference ``pnp_solve``
+    (``vision/pnp-solve.cpp:16-104``): P3P-RANSAC, 100 iters, reprojection
+    threshold 0.05, >= 7 points.
+    """
+    pose, best_inl = pnp_ransac_core(
+        X, r, mask, key, params.num_hypotheses,
+        params.threshold * params.threshold, params.refit,
+    )
     num = jnp.sum(best_inl).astype(jnp.int32)
     return PnpResult(
         pose=pose,

@@ -121,3 +121,62 @@ def essential_ransac(
         num_inliers=jnp.sum(best_inl).astype(jnp.int32),
         residuals=res,
     )
+
+
+def fundamental_ransac(
+    p1: Array,
+    p2: Array,
+    mask: Array,
+    key: Array,
+    num_hypotheses: int = 256,
+    max_error: float = 5.0,
+    refit: bool = True,
+) -> RansacResult:
+    """Pixel-space fundamental-matrix RANSAC.
+
+    Rebuild of ``FundamentalMatrixEstimatorRANSAC``
+    (``vision/estimator-RANSAC.cpp:16-90``): 8-point minimal samples, inlier
+    test on the *algebraic* epipolar residual ``|p2^T F p1| < max_error``
+    (``count_inliers``, ``:100-129`` — the reference squares neither side;
+    its ``max_error_sq`` name notwithstanding, the comparison is linear in
+    the residual), best model by (inlier count, then total residual). The
+    reference even disables its sampling shuffle (``:41-42``); here every
+    hypothesis draws a distinct random minimal set, batched.
+
+    p1, p2: (N, 2) PIXEL coordinates; F maps p1 -> lines in image 2.
+    ``find_fundamental_matrix`` returns ``|F|_F = 1``, so the algebraic
+    residual scale is well-defined across hypotheses.
+    """
+    ones = jnp.ones_like(p1[..., :1])
+    h1 = jnp.concatenate([p1, ones], axis=-1)
+    h2 = jnp.concatenate([p2, ones], axis=-1)
+
+    def error_fn(F, a, b):
+        return epipolar.epipolar_residual(F, a, b)
+
+    idx = sample_minimal_sets(key, mask, num_hypotheses, 8)
+    s1 = p1[idx]
+    s2 = p2[idx]
+    w = jnp.ones(idx.shape, dtype=p1.dtype)
+    Fs = epipolar.find_fundamental_matrix(s1, s2, w)      # (H, 3, 3)
+    errors = error_fn(Fs, h1[None], h2[None])
+    best, inl, _ = _select_best(errors, mask, max_error)
+    F = Fs[best]
+    best_inl = inl[best]
+
+    if refit:
+        wf = best_inl.astype(p1.dtype)
+        F_fit = epipolar.find_fundamental_matrix(p1, p2, wf)
+        err_fit = error_fn(F_fit, h1, h2)
+        inl_fit = jnp.logical_and(err_fit < max_error, mask)
+        better = jnp.sum(inl_fit) >= jnp.sum(best_inl)
+        F = jnp.where(better, F_fit, F)
+        best_inl = jnp.where(better, inl_fit, best_inl)
+
+    res = error_fn(F, h1, h2)
+    return RansacResult(
+        model=F,
+        inlier_mask=best_inl,
+        num_inliers=jnp.sum(best_inl).astype(jnp.int32),
+        residuals=res,
+    )

@@ -99,7 +99,7 @@ def test_visual_odometer_app_end_to_end(tmp_path):
         "\n".join(f"{TSUKUBA}/{i}.jpg" for i in range(1, 6))
     )
     ckpt = str(tmp_path / "vo.npz")
-    env = dict(os.environ, JAX_PLATFORMS="cpu",
+    env = dict(os.environ, MVSLAM_PLATFORM="cpu",
                JAX_COMPILATION_CACHE_DIR="/root/repo/.jax_cache")
     proc = subprocess.run(
         [sys.executable, "-m", "mvslam_tpu.apps.visual_odometer", str(ds),
@@ -147,3 +147,30 @@ def test_checkpoint_round_trip(tmp_path):
         assert res.success, res
     t = np.asarray(vo2.get_camera_pose().t)
     assert np.abs(t - [4.0, 0.0, 0.0]).max() < 0.08, t
+
+
+def test_vo_jit_state_round_trip(tmp_path):
+    from mvslam_tpu.frontend import vo_jit
+    from mvslam_tpu.io.checkpoint import load_vo_jit_state, save_vo_jit_state
+
+    params = vo_jit.VoJitParams()
+    st = vo_jit.vo_init_state(params, seed=3)
+    # mutate a representative subset so the round-trip is non-trivial
+    st = st._replace(
+        mode=jnp.asarray(vo_jit.MODE_TRACKING, jnp.int32),
+        step=jnp.asarray(17, jnp.int32),
+        pose_t=jnp.asarray([1.0, -0.5, 0.25], st.pose_t.dtype),
+        map_valid=st.map_valid.at[:5].set(True),
+        map_pos=st.map_pos.at[:5].set(1.5),
+    )
+    path = str(tmp_path / "vo_jit.npz")
+    save_vo_jit_state(st, path)
+    st2 = load_vo_jit_state(path, vo_jit.vo_init_state(params))
+    for name, a, b in zip(type(st)._fields, st, st2):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
+    # capacity mismatch fails loudly
+    small = vo_jit.vo_init_state(params._replace(map_capacity=64))
+    with pytest.raises(ValueError):
+        load_vo_jit_state(path, small)

@@ -139,6 +139,52 @@ def test_pnp_solve_with_outliers(dtype, rng):
     assert float(jnp.max(jnp.abs(res.pose.log() - pose.log()))) < 10 * tol_for(dtype)
 
 
+def test_pnp_solve_planar_scene(dtype, rng):
+    # all world points on one plane (z = 5): a linear DLT minimal solver is
+    # degenerate here; the P3P path must still recover the pose exactly.
+    # This is the robustness the reference gets from cv::solvePnPRansac(P3P)
+    # (vision/pnp-solve.cpp:43-49).
+    n = 24
+    xy = rng.uniform(-2.0, 2.0, (n, 2))
+    pts = jnp.asarray(np.c_[xy, np.full(n, 5.0)], dtype)
+    pose = se3_from_parts(
+        np.asarray(so3_from_rpy(0.12, -0.08, 0.2, dtype=jnp.float64)),
+        [0.3, -0.1, 0.4],
+        dtype=dtype,
+    )
+    r = project_ideal(pose, pts)
+    mask = jnp.ones(n, dtype=bool)
+    res = pnp.pnp_solve(pts, r, mask, jax.random.PRNGKey(2))
+    assert bool(res.success)
+    assert int(res.num_inliers) == n
+    assert float(jnp.max(jnp.abs(res.pose.log() - pose.log()))) < tol_for(dtype)
+
+
+def test_p3p_candidates_contain_truth(dtype):
+    # direct minimal-solver oracle: the true pose must be among the <=4
+    # Grunert candidates for a noiseless non-degenerate triple.
+    from mvslam_tpu.ops import p3p as p3p_mod
+
+    pts = get_rig_points(
+        L_SHAPE,
+        rotation=np.asarray(so3_from_rpy(0.1, -0.2, 0.3, dtype=jnp.float64)),
+        translation=(0.3, -0.2, 6.0),
+        dtype=dtype,
+    )[:3]
+    pose = se3_from_parts(
+        np.asarray(so3_from_rpy(-0.04, 0.06, 0.1, dtype=jnp.float64)),
+        [0.4, -0.2, 0.3],
+        dtype=dtype,
+    )
+    r = project_ideal(pose, pts)
+    bear = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+    cand, valid = p3p_mod.p3p_solve(pts[None], bear[None])
+    d = jnp.max(jnp.abs(cand.log() - pose.log()[None, None]), axis=-1)
+    d = jnp.where(valid, d, jnp.inf)
+    assert bool(valid.any())
+    assert float(jnp.min(d)) < tol_for(dtype)
+
+
 def test_pnp_refine_under_noise(dtype, rng):
     # reference test-pnp.cpp:62-159: noisy refine to 2.5e-2
     points = get_rig_points(

@@ -1,0 +1,100 @@
+"""Sparse fixed-degree BA: dense-oracle parity, sequence recovery, and
+1-vs-N-shard (sequence-partitioned) equivalence.
+
+This is the scaling path that replaces the reference's gtsam sparse factor
+graph (``vision/ba.cpp:96-117``); the dense core remains the oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvslam_tpu.ops import ba as ba_mod
+from mvslam_tpu.ops import ba_sparse
+from mvslam_tpu.parallel.dist_ba_sparse import distributed_sparse_ba_solve
+from mvslam_tpu.parallel.mesh import make_mesh
+from mvslam_tpu.parallel.synthetic import make_sequence_ba_problem
+
+
+def test_sparse_matches_dense_oracle():
+    # small problem solvable both ways; the sparse inexact-PCG LM must land
+    # on the same optimum as the dense Cholesky LM
+    prob, poses_true, pts_true = make_sequence_ba_problem(
+        jax.random.PRNGKey(0), num_frames=8, points_per_frame=24, window=4,
+        dtype=jnp.float64,
+    )
+    dense = ba_mod.ba_solve(
+        ba_sparse.densify(prob),
+        ba_mod.BAParams(max_iterations=40, compute_covariance=False),
+    )
+    sparse = ba_sparse.sparse_ba_solve(
+        prob, ba_sparse.SparseBAParams(max_iterations=40, cg_iterations=60)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sparse.poses.t), np.asarray(dense.poses.t), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sparse.points), np.asarray(dense.points), atol=1e-5
+    )
+    assert abs(float(sparse.error) - float(dense.error)) < 1e-4 * (
+        1.0 + float(dense.error)
+    )
+
+
+def test_sparse_sequence_recovers_truth():
+    prob, poses_true, pts_true = make_sequence_ba_problem(
+        jax.random.PRNGKey(1), num_frames=64, points_per_frame=16, window=4,
+        dtype=jnp.float64,
+    )
+    res = ba_sparse.sparse_ba_solve(
+        prob, ba_sparse.SparseBAParams(max_iterations=30, cg_iterations=80)
+    )
+    assert bool(res.converged)
+    # a 64-frame chain anchored only at frame 0 has a weakly-constrained
+    # global drift/scale mode (monocular gauge); the solver contract is
+    # reaching the same optimum as the dense-oracle LM, plus a bounded
+    # global mode. (The inexact-PCG optimum agrees with the exact-Cholesky
+    # one to ~1e-3 of the 0.08 gauge wander.)
+    dense = ba_mod.ba_solve(
+        ba_sparse.densify(prob),
+        ba_mod.BAParams(max_iterations=30, compute_covariance=False),
+    )
+    d = np.abs(np.asarray(res.poses.t) - np.asarray(dense.poses.t)).max()
+    assert d < 2e-3, d
+    abs_err = np.abs(np.asarray(res.poses.t) - np.asarray(poses_true.t)).max()
+    assert abs_err < 0.2, abs_err
+
+
+def test_sequence_partition_1_vs_8_shards():
+    # VERDICT r2 item 6: 64-keyframe sequence on 1 vs 8 shards agrees.
+    # Landmarks are anchor-ordered, so the 8-way split is a contiguous
+    # keyframe-sequence partition with psum-coupled boundaries.
+    prob, _, _ = make_sequence_ba_problem(
+        jax.random.PRNGKey(2), num_frames=64, points_per_frame=16, window=4,
+        dtype=jnp.float64,
+    )
+    params = ba_sparse.SparseBAParams(max_iterations=15, cg_iterations=60)
+    r1 = distributed_sparse_ba_solve(prob, make_mesh(jax.devices()[:1]), params)
+    r8 = distributed_sparse_ba_solve(prob, make_mesh(), params)
+    np.testing.assert_allclose(
+        np.asarray(r1.poses.t), np.asarray(r8.poses.t), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.points), np.asarray(r8.points), atol=1e-7
+    )
+
+
+def test_sparse_large_scale_distributed():
+    # VERDICT r2 item 5: >=1k frames / >=100k landmarks representable and
+    # solvable on the 8-device virtual mesh (f32, the TPU dtype)
+    prob, poses_true, _ = make_sequence_ba_problem(
+        jax.random.PRNGKey(3), num_frames=1024, points_per_frame=100,
+        window=4, dtype=jnp.float32,
+    )
+    assert prob.points0.shape[0] == 102400
+    params = ba_sparse.SparseBAParams(max_iterations=5, cg_iterations=30)
+    res = distributed_sparse_ba_solve(prob, make_mesh(), params)
+    assert bool(jnp.all(jnp.isfinite(res.poses.t)))
+    # cost must drop well below the initial cost
+    c0 = ba_sparse._cost(prob.poses0, prob.points0, prob)
+    assert float(res.error) < 0.1 * float(c0)

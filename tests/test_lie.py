@@ -150,3 +150,25 @@ def test_batched_shapes(rng, n, dtype):
     assert T.t.shape == (n, 4, 3)
     assert T.log().shape == (n, 4, 6)
     assert T.matrix().shape == (n, 4, 4, 4)
+
+
+def test_se3_adjoint_defining_property(rng, dtype):
+    # T exp(xi) T^-1 == exp(Ad_T xi) (reference lie-group.hpp:236-244)
+    T = random_se3(rng, 0.6, dtype=dtype)
+    xi = jnp.asarray(rng.normal(size=6) * 0.3, dtype=dtype)
+    lhs = T.compose(SE3.exp(xi)).compose(T.inverse())
+    rhs = SE3.exp(T.adjoint() @ xi)
+    tol = 1e-9 if dtype == jnp.float64 else 1e-5
+    assert float(se3_distance(lhs, rhs)) < tol
+
+
+def test_so3_adjoint_is_rotation(rng, dtype):
+    from mvslam_tpu.math.lie import so3_adjoint, so3_exp
+
+    w = jnp.asarray(rng.normal(size=3) * 0.4, dtype=dtype)
+    R = so3_exp(w)
+    v = jnp.asarray(rng.normal(size=3), dtype=dtype)
+    lhs = R @ so3_exp(v) @ R.T
+    rhs = so3_exp(so3_adjoint(R) @ v)
+    atol = 1e-9 if dtype == jnp.float64 else 1e-5
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=atol)

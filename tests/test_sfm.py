@@ -153,3 +153,35 @@ def test_sfm_solve_jits_and_caches(dtype):
     # second call hits the cache with same shapes
     r2_ = solve(r1, r2, mask, jax.random.PRNGKey(42))
     assert bool(r2_.success)
+
+
+def test_fundamental_ransac_pixel_space(dtype, rng):
+    # reference FundamentalMatrixEstimatorRANSAC (estimator-RANSAC.cpp:16-90):
+    # pixel-space 8-point RANSAC, inlier test |p2^T F p1| < max_error
+    n_in, n_out = 40, 12
+    pts = jnp.asarray(
+        np.c_[rng.uniform(-2, 2, (n_in + n_out, 2)),
+              rng.uniform(4, 9, n_in + n_out)], dtype
+    )
+    pose2in1 = se3_from_parts(
+        np.asarray(so3_from_rpy(0.05, -0.03, 0.02, dtype=jnp.float64)),
+        [1.0, 0.1, -0.05], dtype=dtype,
+    )
+    r1 = pts / pts[:, 2:3]
+    p_cam2 = pose2in1.inverse().apply(pts)
+    r2 = p_cam2 / p_cam2[:, 2:3]
+    K = jnp.asarray([[350.0, 0, 192.0], [0, 350.0, 144.0], [0, 0, 1.0]], dtype)
+    p1 = (r1 @ K.T)[:, :2]
+    p2 = (r2 @ K.T)[:, :2]
+    # corrupt the tail with gross pixel outliers
+    p2 = p2.at[n_in:].add(jnp.asarray(rng.uniform(30, 80, (n_out, 2)), dtype))
+    mask = jnp.ones(n_in + n_out, dtype=bool)
+    res = ransac.fundamental_ransac(
+        p1, p2, mask, jax.random.PRNGKey(3), max_error=1e-3
+    )
+    inl = np.asarray(res.inlier_mask)
+    assert inl[:n_in].all()
+    assert not inl[n_in:].any()
+    # rank-2 and epipolar-consistent on the inliers
+    s = jnp.linalg.svd(res.model, compute_uv=False)
+    assert float(s[2]) < 1e-4

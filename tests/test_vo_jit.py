@@ -72,3 +72,28 @@ def test_reset_on_garbage_frame(run):
     new_state, out = step(state, blank, K_inv, focal)
     assert not bool(out.success)
     assert int(new_state.mode) == MODE_INITIALIZING
+
+
+def test_bootstrap_window_skips_garbage_frame():
+    # a corrupted frame lands mid-bootstrap: [f1, blank, f2]. A 1-frame
+    # window would try f2 only against the blank (no matches) and keep
+    # spinning in INITIALIZING; the ring window must reach back to f1 and
+    # bootstrap at f2 with the unit-x baseline (reference 10-frame queue,
+    # visual-odometer.cpp:273-346).
+    cam = PinholeCamera.load_from_file(f"{TSUKUBA}/camera.config")
+    K_inv = jnp.asarray(np.linalg.inv(np.asarray(cam.K)), jnp.float32)
+    focal = jnp.asarray(350.0, jnp.float32)
+    params = VoJitParams()
+    step = make_vo_step(params)
+    state = vo_init_state(params)
+    blank = jnp.zeros((288, 384), jnp.float32)
+    state, o1 = step(state, load_image_grayscale(f"{TSUKUBA}/1.jpg"),
+                     K_inv, focal)
+    state, o2 = step(state, blank, K_inv, focal)
+    assert not bool(o2.success)
+    state, o3 = step(state, load_image_grayscale(f"{TSUKUBA}/2.jpg"),
+                     K_inv, focal)
+    assert bool(o3.success), "window bootstrap must recover past the blank"
+    assert int(o3.mode) == MODE_TRACKING
+    t = np.asarray(o3.pose_t)
+    assert np.abs(t - [1.0, 0.0, 0.0]).max() < 0.08, t
