@@ -104,15 +104,29 @@ class OrbParams(NamedTuple):
     # data like tsukuba noise-free), and geometric accuracy comes from the
     # KLT refinement stage instead (ops/klt.py).
     subpixel: bool = False
+    # Layout of the pyramid compute: per-level unrolled graphs (False) vs
+    # one (L, H, W) zero-padded canvas batch (True). Both produce the same
+    # features; the canvas trades ~2.6x more (masked) dense FLOPs for ~4x
+    # fewer kernels — measured SLOWER on the tunneled v5e (19.5 vs 28
+    # frames/s end-to-end), so unrolled is the default; kept for meshes
+    # where dispatch dominates.
+    batched: bool = False
+
+
+def _pad_hw(img: Array, pad: int, **kw) -> Array:
+    """Pad only the trailing two (H, W) axes of an (..., H, W) array."""
+    widths = [(0, 0)] * (img.ndim - 2) + [(pad, pad), (pad, pad)]
+    return jnp.pad(img, widths, **kw)
 
 
 def _shift2d(img: Array, dx: int, dy: int) -> Array:
     """Image shifted so output[y, x] = img[y + dy, x + dx] (edge-replicated,
-    so borders of uniform images never fake a corner)."""
-    H, W = img.shape
+    so borders of uniform images never fake a corner). Batched over any
+    leading axes."""
     pad = 3
-    p = jnp.pad(img, pad, mode="edge")
-    return jax.lax.dynamic_slice(p, (pad + dy, pad + dx), (H, W))
+    p = _pad_hw(img, pad, mode="edge")
+    start = (0,) * (img.ndim - 2) + (pad + dy, pad + dx)
+    return jax.lax.dynamic_slice(p, start, img.shape)
 
 
 def fast_score(img: Array, threshold: float) -> Array:
@@ -145,11 +159,13 @@ def fast_score(img: Array, threshold: float) -> Array:
 
 
 def nms3x3(score: Array) -> Array:
-    """Keep strict local maxima of a 3x3 neighborhood."""
-    p = jnp.pad(score, 1, constant_values=-jnp.inf)
+    """Keep strict local maxima of a 3x3 neighborhood (batched over any
+    leading axes)."""
+    H, W = score.shape[-2:]
+    p = _pad_hw(score, 1, constant_values=-jnp.inf)
     windows = jnp.stack(
         [
-            p[1 + dy : 1 + dy + score.shape[0], 1 + dx : 1 + dx + score.shape[1]]
+            p[..., 1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
             for dy in (-1, 0, 1)
             for dx in (-1, 0, 1)
             if not (dx == 0 and dy == 0)
@@ -172,21 +188,24 @@ def _box_sum(img: Array, radius: int) -> Array:
         lo = jax.lax.slice_in_dim(c, 0, c.shape[axis] - k, axis=axis)
         return hi - lo                      # size n - k + 1 along axis
 
-    p = jnp.pad(img, radius)
-    return win(win(p, 0), 1)                # back to img.shape
+    p = _pad_hw(img, radius)
+    return win(win(p, img.ndim - 2), img.ndim - 1)  # back to img.shape
 
 
 def harris_response(img: Array, k: float = 0.04, block_radius: int = 3) -> Array:
     """Harris corner response with Sobel gradients + box-summed tensor
-    (ORB's HARRIS_SCORE ranking)."""
+    (ORB's HARRIS_SCORE ranking). Batched over any leading axes."""
     sob_x = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], img.dtype) / 8.0
     sob_y = sob_x.T
+    lead = img.shape[:-2]
 
     def conv3(x, kern):
-        return jax.lax.conv_general_dilated(
-            x[None, None], kern[None, None], (1, 1), "SAME",
+        xb = x.reshape((-1, 1) + x.shape[-2:])
+        out = jax.lax.conv_general_dilated(
+            xb, kern[None, None], (1, 1), "SAME",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )[0, 0]
+        )
+        return out.reshape(lead + x.shape[-2:])
 
     Ix = conv3(img, sob_x)
     Iy = conv3(img, sob_y)
@@ -265,24 +284,75 @@ def _extract_patches(img: Array, xy: Array, radius: int) -> Array:
     return jax.vmap(one)(xy)
 
 
-@partial(jax.jit, static_argnames=("params",))
-def orb_detect(img: Array, params: OrbParams = OrbParams()) -> FeatureSet:
-    """Detect + describe up to ``params.max_features`` keypoints.
+def _extract_patches_lhw(canvas: Array, lev: Array, xy: Array,
+                         radius: int) -> Array:
+    """Batched patch gather from an (L, H, W) level canvas.
 
-    ``img``: (H, W) float grayscale in [0, 1]. Pyramid levels are unrolled
-    at trace time (static shapes per level); per-level budgets are
-    proportional to level area, as in OpenCV ORB.
+    ``lev``: (K,) level index per keypoint; ``xy``: (K, 2) level-local
+    integer positions. One vmapped ``dynamic_slice`` over all K keypoints
+    of every level — the single gather kernel replacing L per-level vmaps.
+    Patches are zero-padded outside the canvas (keypoints live >= border
+    from their level's extent, so in-bounds patches never see padding).
     """
-    dtype = img.dtype
-    H, W = img.shape
+    P = 2 * radius + 1
+    padded = _pad_hw(canvas, radius)
+    H, W = canvas.shape[-2:]
+
+    def one(l, p):
+        x = jnp.clip(jnp.round(p[0]).astype(jnp.int32), 0, W - 1)
+        y = jnp.clip(jnp.round(p[1]).astype(jnp.int32), 0, H - 1)
+        return jax.lax.dynamic_slice(padded, (l, y, x), (1, P, P))[0]
+
+    return jax.vmap(one)(lev, xy)
+
+
+def _level_shapes(H: int, W: int, params: OrbParams) -> list[tuple[int, int]]:
+    """Static per-level (h, w) of the scale pyramid."""
+    shapes = [(H, W)]
+    inv = 1.0 / params.scale_factor
+    for _ in range(1, params.num_levels):
+        h, w = shapes[-1]
+        shapes.append((
+            max(int(round(h * inv)), 2 * params.border + 1),
+            max(int(round(w * inv)), 2 * params.border + 1),
+        ))
+    return shapes
+
+
+def _level_budgets(params: OrbParams) -> np.ndarray:
+    """Per-level keypoint budgets ~ geometric series (OpenCV allocation)."""
     L = params.num_levels
     inv = 1.0 / params.scale_factor
-    # per-level budgets ~ geometric series, matching OpenCV's allocation
     raw = np.array([inv ** (2 * l) for l in range(L)])
     budgets = np.maximum(
         (params.max_features * raw / raw.sum()).astype(int), 1
     )
     budgets[0] += params.max_features - budgets.sum()
+    return budgets
+
+
+@partial(jax.jit, static_argnames=("params",))
+def orb_detect(img: Array, params: OrbParams = OrbParams()) -> FeatureSet:
+    """Detect + describe up to ``params.max_features`` keypoints.
+
+    ``img``: (H, W) float grayscale in [0, 1]. Two equivalent compute
+    layouts (``params.batched``); per-level budgets are proportional to
+    level area, as in OpenCV ORB (reference cap 500,
+    ``vision/visual-feature.cpp:9``).
+    """
+    if params.batched:
+        return _orb_detect_batched(img, params)
+    return _orb_detect_unrolled(img, params)
+
+
+def _orb_detect_unrolled(img: Array, params: OrbParams) -> FeatureSet:
+    """Per-level unrolled pyramid: each level's dense work runs at its own
+    (static) resolution — least total FLOPs, most kernels."""
+    dtype = img.dtype
+    H, W = img.shape
+    L = params.num_levels
+    shapes = _level_shapes(H, W, params)
+    budgets = _level_budgets(params)
 
     all_parts = []
     level_img = img
@@ -301,22 +371,9 @@ def orb_detect(img: Array, params: OrbParams = OrbParams()) -> FeatureSet:
         valid = jnp.isfinite(vals)
         xy_int = jnp.stack([xs, ys], axis=-1)
         if params.subpixel:
-            # 1D quadratic fits on the Harris surface around each maximum
             nbhd = _extract_patches(harris, xy_int, 1)          # (k_l, 3, 3)
-
-            def parab(sm, s0, sp):
-                # trust the fit only where the center is a true 1D maximum
-                # (rank maximizes Harris *among FAST corners*, so a plain
-                # neighbor can be larger — fitting uphill just clamps)
-                denom = 2.0 * (2.0 * s0 - sm - sp)
-                off = (sp - sm) / jnp.where(
-                    jnp.abs(denom) < jnp.finfo(dtype).eps, 1.0, denom
-                )
-                is_max = jnp.logical_and(s0 >= sm, s0 >= sp)
-                return jnp.where(is_max, jnp.clip(off, -0.5, 0.5), 0.0)
-
-            dx = parab(nbhd[:, 1, 0], nbhd[:, 1, 1], nbhd[:, 1, 2])
-            dy = parab(nbhd[:, 0, 1], nbhd[:, 1, 1], nbhd[:, 2, 1])
+            dx = _parabolic_offset(nbhd[:, 1, 0], nbhd[:, 1, 1], nbhd[:, 1, 2])
+            dy = _parabolic_offset(nbhd[:, 0, 1], nbhd[:, 1, 1], nbhd[:, 2, 1])
             xy_level = xy_int + jnp.stack([dx, dy], axis=-1)
         else:
             xy_level = xy_int
@@ -324,7 +381,7 @@ def orb_detect(img: Array, params: OrbParams = OrbParams()) -> FeatureSet:
         # coordinate is for geometry only
         patches = _extract_patches(level_img, xy_int, PATCH_RADIUS + 2)
         angles = _orientation(patches)
-        smooth = jax.vmap(lambda p: _box_sum(p, 2) / 25.0)(patches)
+        smooth = _box_sum(patches, 2) / 25.0
         desc = _descriptors(smooth, angles)
         all_parts.append(
             dict(
@@ -338,12 +395,103 @@ def orb_detect(img: Array, params: OrbParams = OrbParams()) -> FeatureSet:
             )
         )
         if l + 1 < L:
-            nh = max(int(round(h * inv)), 2 * params.border + 1)
-            nw = max(int(round(w * inv)), 2 * params.border + 1)
-            level_img = jax.image.resize(level_img, (nh, nw), "linear")
+            level_img = jax.image.resize(level_img, shapes[l + 1], "linear")
 
     out = {
         key: jnp.concatenate([p[key] for p in all_parts])
         for key in all_parts[0]
     }
     return FeatureSet(**out)
+
+
+def _parabolic_offset(sm: Array, s0: Array, sp: Array) -> Array:
+    """1D quadratic-fit subpixel offset, trusted only at true 1D maxima
+    (rank maximizes Harris *among FAST corners*, so a plain neighbor can
+    be larger — fitting uphill just clamps)."""
+    dtype = s0.dtype
+    denom = 2.0 * (2.0 * s0 - sm - sp)
+    off = (sp - sm) / jnp.where(
+        jnp.abs(denom) < jnp.finfo(dtype).eps, 1.0, denom
+    )
+    is_max = jnp.logical_and(s0 >= sm, s0 >= sp)
+    return jnp.where(is_max, jnp.clip(off, -0.5, 0.5), 0.0)
+
+
+def _orb_detect_batched(img: Array, params: OrbParams) -> FeatureSet:
+    """Canvas layout: the pyramid levels are packed top-left into one
+    ``(L, H, W)`` batch so the dense work (FAST, NMS, Harris) and the
+    per-keypoint work (selection, patch gather, orientation, rBRIEF) each
+    run ONCE as a batch — fewest kernels, ~2.6x more (masked) dense FLOPs.
+    Canvas regions outside a level's true extent are zero; every consumer
+    is masked by the per-level border box (``border`` >= every
+    stencil/patch radius, so zeros never leak into surviving keypoints).
+    """
+    dtype = img.dtype
+    H, W = img.shape
+    L = params.num_levels
+    shapes = _level_shapes(H, W, params)
+    budgets = _level_budgets(params)
+    k_max = int(budgets.max())
+
+    # ---- pyramid into one (L, H, W) canvas (top-left anchored) ----------
+    levels = [img]
+    for l in range(1, L):
+        levels.append(jax.image.resize(levels[-1], shapes[l], "linear"))
+    canvas = jnp.zeros((L, H, W), dtype)
+    for l, lv in enumerate(levels):
+        canvas = jax.lax.dynamic_update_slice(canvas, lv[None], (l, 0, 0))
+
+    # ---- dense scoring, one batched pass --------------------------------
+    score = fast_score(canvas, params.fast_threshold)
+    score = nms3x3(score)
+    harris = harris_response(canvas, params.harris_k)
+    # static in-bounds border mask per level
+    bm = np.zeros((L, H, W), bool)
+    b = params.border
+    for l, (h, w) in enumerate(shapes):
+        bm[l, b : h - b, b : w - b] = True
+    border_ok = jnp.asarray(bm)
+    rank = jnp.where((score > 0) & border_ok, harris, -jnp.inf)
+
+    # ---- batched top-k + static slot maps -------------------------------
+    vals_l, idx_l = jax.lax.top_k(rank.reshape(L, -1), k_max)  # (L, k_max)
+    slot_level = np.repeat(np.arange(L), budgets)              # (K,)
+    slot_rank = np.concatenate([np.arange(n) for n in budgets])
+    lev = jnp.asarray(slot_level, jnp.int32)
+    rnk = jnp.asarray(slot_rank, jnp.int32)
+    vals = vals_l[lev, rnk]                                    # (K,)
+    idx = idx_l[lev, rnk]
+    ys = (idx // W).astype(dtype)
+    xs = (idx % W).astype(dtype)
+    valid = jnp.isfinite(vals)
+    xy_int = jnp.stack([xs, ys], axis=-1)                      # level-local
+    scale = jnp.asarray(
+        params.scale_factor ** slot_level.astype(np.float64), dtype
+    )
+
+    if params.subpixel:
+        # 1D quadratic fits on the Harris surface around each maximum
+        nbhd = _extract_patches_lhw(harris, lev, xy_int, 1)    # (K, 3, 3)
+        dx = _parabolic_offset(nbhd[:, 1, 0], nbhd[:, 1, 1], nbhd[:, 1, 2])
+        dy = _parabolic_offset(nbhd[:, 0, 1], nbhd[:, 1, 1], nbhd[:, 2, 1])
+        xy_level = xy_int + jnp.stack([dx, dy], axis=-1)
+    else:
+        xy_level = xy_int
+
+    # ---- one batched patch gather + orientation + descriptors -----------
+    # descriptors sample at the stable integer position; the subpixel
+    # coordinate is for geometry only
+    patches = _extract_patches_lhw(canvas, lev, xy_int, PATCH_RADIUS + 2)
+    angles = _orientation(patches)
+    smooth = _box_sum(patches, 2) / 25.0
+    desc = _descriptors(smooth, angles)
+
+    return FeatureSet(
+        xy=xy_level * scale[:, None],
+        response=jnp.where(valid, vals, -jnp.inf),
+        angle=angles,
+        octave=jnp.asarray(slot_level, jnp.int32),
+        sigma=(2.0 ** jnp.asarray(slot_level, dtype)) * jnp.asarray(0.5, dtype),
+        desc=desc,
+        mask=valid,
+    )
