@@ -128,6 +128,21 @@ def main() -> int:
     state, outs = run_sequence()
     log(f"warmup pass: {time.time() - t0:.1f}s, "
         f"tracked {int(state.frame_tracked)}/{n_img}")
+
+    # XLA's own FLOP count for one replay pass — the honest numerator for
+    # an MFU estimate (VERDICT r2 item 3). Denominator assumption: v5e
+    # peak 197 TFLOP/s bf16 (jax matmul precision is pinned to f32 for
+    # geometry, so this is a LOWER bound on utilization headroom).
+    flops_per_pass = None
+    try:
+        ca = (
+            replay.lower(state0, images, K_inv, focal).compile()
+            .cost_analysis()
+        )
+        if ca:
+            flops_per_pass = float(ca.get("flops", 0.0)) or None
+    except Exception as e:                      # axon backend may not expose it
+        log(f"cost_analysis unavailable: {e}")
     log("per-frame: " + " ".join(
         f"[{i+1}: ok={int(outs.success[i])} mode={int(outs.mode[i])} "
         f"inl={int(outs.num_inliers[i])} err={float(outs.mean_error[i]):.2e} "
@@ -183,6 +198,51 @@ def main() -> int:
     online_fps = online_frames / (time.time() - t0)
     log(f"online: {online_fps:.1f} frames/s (single-frame dispatch)")
 
+    # pipelined online mode (SURVEY §2.8 pipeline-parallel row): the step
+    # split at its state-independent seam — frame t+1's host decode +
+    # `pre` dispatch overlap frame t's in-flight `combine` (+ the decode
+    # is in the loop for BOTH paths, so the delta is pure overlap)
+    from mvslam_tpu.frontend.vo_jit import make_vo_pipelined
+    from mvslam_tpu.io import load_image_grayscale as _decode
+
+    pre, combine = make_vo_pipelined(params)
+    paths = [f"{TSUKUBA}/{i}.jpg" for i in range(1, 6)]
+
+    def run_online_decode(pipelined: bool):
+        st = state0
+        if pipelined:
+            nxt = pre(jax.device_put(jnp.asarray(_decode(paths[0]))),
+                      K_inv, focal)
+            for i in range(n_img):
+                cur = nxt
+                if i + 1 < n_img:
+                    nxt = pre(jax.device_put(jnp.asarray(_decode(paths[i + 1]))),
+                              K_inv, focal)
+                st, _ = combine(st, *cur, K_inv, focal)
+        else:
+            for i in range(n_img):
+                img = jax.device_put(jnp.asarray(_decode(paths[i])))
+                st, out = step(st, img, K_inv, focal)
+                jax.block_until_ready(out.pose_t)   # serialize: no overlap
+        jax.block_until_ready(st.pose_t)
+        return st
+
+    run_online_decode(True)                      # warmup pre/combine compile
+    seq_fps = pipe_fps = 0.0
+    for pipelined in (False, True):
+        t0 = time.time()
+        nf = 0
+        for _ in range(passes):
+            stf = run_online_decode(pipelined)
+            nf += n_img
+        rate = nf / (time.time() - t0)
+        if pipelined:
+            pipe_fps = rate
+        else:
+            seq_fps = rate
+    log(f"online+decode: sequential {seq_fps:.1f} -> pipelined "
+        f"{pipe_fps:.1f} frames/s (tracked {int(stf.frame_tracked)}/{n_img})")
+
     if prof:
         jax.profiler.stop_trace()
         log(f"profile trace written to {prof}")
@@ -202,7 +262,15 @@ def main() -> int:
         "tracked": tracked,
         "ate_max": round(ate_max, 4),
         "online_fps": round(online_fps, 3),
+        "online_decode_fps": round(seq_fps, 3),
+        "online_pipelined_fps": round(pipe_fps, 3),
         "ba_iters_per_s": round(ba_rate, 2),
+        "flops_per_frame": (None if flops_per_pass is None
+                            else round(flops_per_pass / n_img)),
+        "mfu_vs_bf16_peak": (
+            None if flops_per_pass is None
+            else round(flops_per_pass / n_img * fps / 197e12, 8)
+        ),
     }))
     return 0 if accuracy_ok else 1
 

@@ -71,7 +71,11 @@ class VoJitParams(NamedTuple):
     max_track_mean_error: float = 9.0
     map_point_stddev: float = 0.05
     ba_iterations: int = 25
-    pnp_hypotheses: int = 256
+    # P3P minimal sets are 3 points: at a (pessimistic) 50% inlier rate a
+    # hypothesis is all-inlier with p=1/8, so 128 hypotheses miss with
+    # (1-1/8)^128 ~ 4e-8 — half the RANSAC cost of 256 for free (the
+    # essential-matrix solver keeps 256: its 8-point sets need the depth)
+    pnp_hypotheses: int = 128
     # KLT subpixel refinement of matched observations (A/B-able: the
     # reference uses raw ORB keypoint positions only)
     use_klt: bool = True
@@ -289,6 +293,9 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
         from mvslam_tpu.ops import ransac as ransac_mod
 
         def try_slot(rb_xy, rb_desc, rb_mask, rb_rays, rb_sigma, rb_tmpl, kb):
+            """Cheap per-slot candidate: match + KLT + RANSAC + pose
+            recovery + the PRE-refine quality gates. The expensive LM
+            refine runs ONCE, after slot selection, not vmapped x B."""
             m = matching.match_features(
                 rb_desc, rb_mask, f.desc, f.mask,
                 max_distance=p.max_match_distance,
@@ -301,9 +308,11 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
                 obs_sigma = jnp.where(
                     kr.valid, p.klt_sigma_px / focal, f.sigma[m.idx]
                 )
+                klt_valid = kr.valid
             else:
                 xy2 = f.xy[m.idx]
                 obs_sigma = f.sigma[m.idx]     # already focal-normalized
+                klt_valid = m.mask
             ones = jnp.ones_like(xy2[..., :1])
             r2 = jnp.concatenate([xy2, ones], axis=-1) @ K_inv.T
             rr = ransac_mod.essential_ransac(
@@ -314,51 +323,25 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             pose2in1, points, point_mask = sfm.recover_pose_and_points(
                 rr.model, rb_rays, r2, rr.inlier_mask
             )
-            pose2in1 = epipolar.refine_relative_pose_sampson(
-                pose2in1, rb_rays, r2, rr.inlier_mask.astype(dtype)
-            )
-            points, point_mask = sfm.sfm_triangulate(
-                rb_rays, r2, rr.inlier_mask, pose2in1
-            )
-            # base-frame observations are template centers — exact by
-            # construction (the triangulated point is the scene point imaged
-            # there); new-frame observations carry the tracker's noise
-            if p.use_klt:
-                sigma1 = jnp.full_like(obs_sigma, p.template_sigma_px / focal)
-                sigma1 = jnp.where(kr.valid, sigma1, rb_sigma)
-            else:
-                sigma1 = rb_sigma
-            ref = sfm.sfm_refine(
-                rb_rays, r2, point_mask, pose2in1, points,
-                obs_stddev=jnp.stack([sigma1, obs_sigma]), gauge="scale_only",
-                ba_params=ba_mod.BAParams(max_iterations=p.ba_iterations,
-                                          compute_covariance=False,
-                                          compute_point_info=True),
-            )
-            n_obs = jnp.maximum(2 * jnp.sum(point_mask), 1)
-            mean_err = 2.0 * ref.error / n_obs.astype(dtype)
-            T = ref.pose2in1
-            w_rot = jnp.max(jnp.abs(T.log()[3:]))
-            t_norm = jnp.maximum(jnp.linalg.norm(T.t), 1e-9)
-            tz = jnp.abs(T.t[2]) / t_norm
+            w_rot = jnp.max(jnp.abs(pose2in1.log()[3:]))
+            t_norm = jnp.maximum(jnp.linalg.norm(pose2in1.t), 1e-9)
+            tz = jnp.abs(pose2in1.t[2]) / t_norm
             n_inl = rr.num_inliers
-            # reference check_image_pair gates (visual-odometer.cpp:348-382):
-            # inlier count, refined error, rotation, z-translation — it does
-            # NOT gate on LM convergence (gtsam LM runs to its cap too)
+            # pre-refine gates: inlier count, rotation, z-translation
+            # (reference check_image_pair, visual-odometer.cpp:348-382;
+            # its error gate needs the refined pair and is applied after
+            # the post-selection refine below)
             ok = (
                 (n_inl >= p.min_pair_inliers)
-                & (mean_err <= p.max_pair_mean_error)
                 & (w_rot <= p.max_pair_rotation)
                 & (tz <= p.max_pair_z_translation)
-                & jnp.all(jnp.isfinite(T.t))
+                & jnp.all(jnp.isfinite(pose2in1.t))
             )
             return dict(
-                ok=ok, R=T.R.astype(dtype), t=T.t.astype(dtype),
-                points=ref.points.astype(dtype),
-                point_info=ref.point_information.astype(dtype),
-                point_mask=point_mask, m_idx=m.idx.astype(jnp.int32),
+                ok=ok, R=pose2in1.R.astype(dtype), t=pose2in1.t.astype(dtype),
+                inlier_mask=rr.inlier_mask, m_idx=m.idx.astype(jnp.int32),
                 r2=r2.astype(dtype), obs_sigma=obs_sigma.astype(dtype),
-                n_inl=n_inl, mean_err=mean_err.astype(dtype),
+                klt_valid=klt_valid, n_inl=n_inl,
             )
 
         cand = jax.vmap(try_slot)(
@@ -369,8 +352,55 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
         age = state.step - state.rb_step
         score = jnp.where(ok_b, age, -1)
         b = jnp.argmax(score).astype(jnp.int32)   # oldest passing slot
-        any_ok = jnp.any(ok_b)
         sel = jax.tree_util.tree_map(lambda x: x[b], cand)
+
+        # ---- post-selection: ONE Sampson polish + LM refine -------------
+        rb_rays_b = state.rb_rays[b]
+        rb_sigma_b = state.rb_sigma[b]
+        pose2in1 = SE3(sel["R"], sel["t"])
+        r2 = sel["r2"]
+        inl = sel["inlier_mask"]
+        pose2in1 = epipolar.refine_relative_pose_sampson(
+            pose2in1, rb_rays_b, r2, inl.astype(dtype)
+        )
+        points, point_mask = sfm.sfm_triangulate(
+            rb_rays_b, r2, inl, pose2in1
+        )
+        # base-frame observations are template centers — exact by
+        # construction (the triangulated point is the scene point imaged
+        # there); new-frame observations carry the tracker's noise
+        obs_sigma = sel["obs_sigma"]
+        if p.use_klt:
+            sigma1 = jnp.full_like(obs_sigma, p.template_sigma_px / focal)
+            sigma1 = jnp.where(sel["klt_valid"], sigma1, rb_sigma_b)
+        else:
+            sigma1 = rb_sigma_b
+        ref = sfm.sfm_refine(
+            rb_rays_b, r2, point_mask, pose2in1, points,
+            obs_stddev=jnp.stack([sigma1, obs_sigma]), gauge="scale_only",
+            ba_params=ba_mod.BAParams(max_iterations=p.ba_iterations,
+                                      compute_covariance=False,
+                                      compute_point_info=True),
+        )
+        n_obs = jnp.maximum(2 * jnp.sum(point_mask), 1)
+        mean_err = 2.0 * ref.error / n_obs.astype(dtype)
+        T = ref.pose2in1
+        # final accept = selected slot passed pre-gates AND the refined
+        # pair passes the reference's error gate (it does NOT gate on LM
+        # convergence — gtsam LM runs to its cap too)
+        any_ok = (
+            jnp.any(ok_b)
+            & (mean_err <= p.max_pair_mean_error)
+            & jnp.all(jnp.isfinite(T.t))
+        )
+        sel = dict(
+            sel,
+            R=T.R.astype(dtype), t=T.t.astype(dtype),
+            points=ref.points.astype(dtype),
+            point_info=ref.point_information.astype(dtype),
+            point_mask=point_mask,
+            mean_err=mean_err.astype(dtype),
+        )
 
         def accept(_):
             point_mask = sel["point_mask"]
@@ -636,8 +666,8 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
         )
         return new_state, out
 
-    def step_fn(state: VoJitState, image: Array, K_inv: Array, focal: Array):
-        f, smooth = preprocess(image, K_inv, focal)
+    def combine_fn(state: VoJitState, f: _FrameArrays, smooth: Array,
+                   K_inv: Array, focal: Array):
         state = state._replace(
             step=state.step + 1, frame_total=state.frame_total + 1
         )
@@ -652,13 +682,39 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
         )
         return new_state, out
 
-    return jax.jit(step_fn), step_fn
+    def step_fn(state: VoJitState, image: Array, K_inv: Array, focal: Array):
+        f, smooth = preprocess(image, K_inv, focal)
+        return combine_fn(state, f, smooth, K_inv, focal)
+
+    return jax.jit(step_fn), step_fn, preprocess, combine_fn
 
 
 def make_vo_step(params: VoJitParams = VoJitParams()):
     """Build the jitted ``step(state, image, K_inv, focal)``."""
-    jitted, _ = _make_vo_step_fns(params)
+    jitted, _, _, _ = _make_vo_step_fns(params)
     return jitted
+
+
+def make_vo_pipelined(params: VoJitParams = VoJitParams()):
+    """Build ``(pre, combine)`` — the fused step split at its only
+    state-independent seam (pipeline-parallel row, SURVEY §2.8).
+
+    ``pre(image, K_inv, focal) -> (frame_arrays, smooth)`` is the whole
+    per-frame feature pipeline (ORB pyramid, rays, smoothing, templates);
+    ``combine(state, frame_arrays, smooth, K_inv, focal) -> (state, out)``
+    is the state machine (bootstrap / PnP / BA / map update).
+
+    The online driver overlaps frame ``t+1``'s host decode + ``pre``
+    dispatch with frame ``t``'s in-flight ``combine`` (jax async dispatch
+    does the double-buffering; no explicit streams needed):
+
+        nxt = pre(decode(0), ...)
+        for t in range(T):
+            cur, nxt = nxt, (pre(decode(t+1), ...) if t+1 < T else None)
+            state, out = combine(state, *cur, ...)   # device: pre(t+1) ∥ host
+    """
+    _, _, preprocess, combine_fn = _make_vo_step_fns(params)
+    return jax.jit(preprocess), jax.jit(combine_fn)
 
 
 def make_vo_replay(params: VoJitParams = VoJitParams()):
@@ -669,7 +725,7 @@ def make_vo_replay(params: VoJitParams = VoJitParams()):
     reference's per-frame mutex loop, ``utility/visual-odometer.cpp:78-116``,
     becomes a ``lax.scan``). Outputs are stacked :class:`VoStepOut` leaves.
     """
-    _, step_fn = _make_vo_step_fns(params)
+    _, step_fn, _, _ = _make_vo_step_fns(params)
 
     @jax.jit
     def replay(state: VoJitState, images: Array, K_inv: Array, focal: Array):

@@ -100,3 +100,39 @@ def distributed_sparse_ba_solve(
     if prob.points0.shape[0] != orig_p:
         result = result._replace(points=result.points[:orig_p])
     return result
+
+
+def distributed_sparse_ba_solve_hybrid(
+    prob: ba_sparse.SparseBAProblem,
+    mesh: Mesh,
+    params: ba_sparse.SparseBAParams = ba_sparse.SparseBAParams(),
+) -> ba_sparse.SparseBAResult:
+    """Sparse BA over a 2-D ``(dcn, ici)`` hybrid mesh (multi-host layout,
+    :mod:`mvslam_tpu.parallel.multihost`).
+
+    Landmarks stay time-ordered, so sharding their axis over the
+    flattened ``(dcn, ici)`` grid gives each HOST one coarse time window
+    (outer/dcn split) and each chip within the host one fine block of it
+    (inner/ici split). The camera-system reductions psum over BOTH axes;
+    XLA lowers that hierarchically — intra-host partials ride ICI, only
+    the (F, 6)+(F, 6, 6)-sized partial normal equations cross DCN once
+    per CG/LM application, which is the boundary-halo-sized traffic the
+    layout promises (module docstring of ``multihost``).
+    """
+    from mvslam_tpu.parallel.multihost import DCN_AXIS, ICI_AXIS
+
+    axes = (DCN_AXIS, ICI_AXIS)
+    n_dev = mesh.shape[DCN_AXIS] * mesh.shape[ICI_AXIS]
+    orig_p = prob.points0.shape[0]
+    prob = pad_problem(prob, n_dev)
+    prob_spec, result_spec = _shard_specs(axes)
+    solve = jax.shard_map(
+        partial(ba_sparse.sparse_ba_solve, params=params, axis_name=axes),
+        mesh=mesh,
+        in_specs=(prob_spec,),
+        out_specs=result_spec,
+    )
+    result = jax.jit(solve)(prob)
+    if prob.points0.shape[0] != orig_p:
+        result = result._replace(points=result.points[:orig_p])
+    return result

@@ -98,3 +98,43 @@ def test_sparse_large_scale_distributed():
     # cost must drop well below the initial cost
     c0 = ba_sparse._cost(prob.poses0, prob.points0, prob)
     assert float(res.error) < 0.1 * float(c0)
+
+
+def test_hybrid_dcn_ici_mesh_matches_single_device():
+    # multi-host layout on the virtual mesh: (dcn=2, ici=4) — coarse time
+    # windows across "hosts", fine landmark blocks within; psum over both
+    # axes must reproduce the single-device solve exactly
+    from mvslam_tpu.parallel.dist_ba_sparse import (
+        distributed_sparse_ba_solve_hybrid,
+    )
+    from mvslam_tpu.parallel.multihost import make_hybrid_mesh
+
+    prob, _, _ = make_sequence_ba_problem(
+        jax.random.PRNGKey(4), num_frames=32, points_per_frame=16, window=4,
+        dtype=jnp.float64,
+    )
+    params = ba_sparse.SparseBAParams(max_iterations=10, cg_iterations=40)
+    mesh = make_hybrid_mesh(dcn_size=2)
+    assert mesh.shape == {"dcn": 2, "ici": 4}
+    r1 = distributed_sparse_ba_solve(
+        prob, make_mesh(jax.devices()[:1]), params)
+    rh = distributed_sparse_ba_solve_hybrid(prob, mesh, params)
+    np.testing.assert_allclose(
+        np.asarray(r1.poses.t), np.asarray(rh.poses.t), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.points), np.asarray(rh.points), atol=1e-7
+    )
+
+
+def test_hybrid_mesh_single_process_fallback():
+    from mvslam_tpu.parallel.multihost import (
+        DCN_AXIS, ICI_AXIS, initialize, make_hybrid_mesh,
+    )
+
+    assert initialize() is False           # no env ⇒ single-process no-op
+    mesh = make_hybrid_mesh()              # dcn defaults to process_count=1
+    assert mesh.shape[DCN_AXIS] == 1
+    assert mesh.shape[ICI_AXIS] == len(jax.devices())
+    with np.testing.assert_raises(ValueError):
+        make_hybrid_mesh(dcn_size=3)       # 8 devices not divisible by 3

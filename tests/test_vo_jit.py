@@ -74,6 +74,31 @@ def test_reset_on_garbage_frame(run):
     assert int(new_state.mode) == MODE_INITIALIZING
 
 
+def test_pipelined_split_matches_fused_step(run):
+    # pre/combine (pipeline-parallel split, SURVEY §2.8) must be exactly
+    # the fused step: same pose trajectory on the same frames
+    from mvslam_tpu.frontend.vo_jit import make_vo_pipelined
+
+    cam = PinholeCamera.load_from_file(f"{TSUKUBA}/camera.config")
+    K_inv = jnp.asarray(np.linalg.inv(np.asarray(cam.K)), jnp.float32)
+    focal = jnp.asarray(350.0, jnp.float32)
+    params = VoJitParams()
+    pre, combine = make_vo_pipelined(params)
+    state = vo_init_state(params)
+    outs = []
+    for i in range(1, 6):
+        img = load_image_grayscale(f"{TSUKUBA}/{i}.jpg")
+        f, smooth = pre(img, K_inv, focal)
+        state, out = combine(state, f, smooth, K_inv, focal)
+        outs.append(out)
+    _, fused_outs = run
+    for o_split, o_fused in zip(outs, fused_outs):
+        assert bool(o_split.success) == bool(o_fused.success)
+        np.testing.assert_allclose(
+            np.asarray(o_split.pose_t), np.asarray(o_fused.pose_t), atol=1e-5
+        )
+
+
 def test_bootstrap_window_skips_garbage_frame():
     # a corrupted frame lands mid-bootstrap: [f1, blank, f2]. A 1-frame
     # window would try f2 only against the blank (no matches) and keep
