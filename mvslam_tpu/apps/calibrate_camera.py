@@ -51,7 +51,16 @@ def main(argv=None) -> int:
     ap.add_argument("--cols", type=int, default=9)
     ap.add_argument("--square-size", type=float, default=1.0)
     ap.add_argument("--extension", default=".jpg")
+    ap.add_argument("--distortion", action="store_true",
+                    help="estimate radial (k1, k2) jointly (reference "
+                         "calibrate-camera.cpp:171-186)")
+    ap.add_argument("--undistort-preview", metavar="OUT_PNG", default=None,
+                    help="write the first view undistorted with the "
+                         "estimated coefficients (implies --distortion; "
+                         "reference :208)")
     args = ap.parse_args(argv)
+    if args.undistort_preview:
+        args.distortion = True
 
     import jax.numpy as jnp
 
@@ -73,10 +82,25 @@ def main(argv=None) -> int:
     board *= args.square_size
     image_points = jnp.asarray(np.stack(views), jnp.float64)
     weights = jnp.ones(image_points.shape[:2], jnp.float64)
-    result = calibrate_planar(jnp.asarray(board), image_points, weights)
+    result = calibrate_planar(jnp.asarray(board), image_points, weights,
+                              estimate_distortion=args.distortion)
     K = np.asarray(result.K)
     print(f"K =\n{K.round(3)}")
     print(f"rms reprojection error: {float(result.rms_error):.4f} px")
+    if args.distortion:
+        k1, k2 = (float(x) for x in np.asarray(result.dist))
+        print(f"radial distortion: k1={k1:.6f} k2={k2:.6f}")
+    if args.undistort_preview:
+        from mvslam_tpu.io import save_image
+        from mvslam_tpu.ops.calibration import undistort_image
+
+        first = next(iter(iter_directory(args.image_dir, args.extension)))
+        und = undistort_image(
+            jnp.asarray(load_image_grayscale(first), jnp.float64),
+            result.K, result.dist,
+        )
+        save_image(args.undistort_preview, np.asarray(und))
+        print(f"wrote undistorted preview {args.undistort_preview}")
     cam = PinholeCamera.from_params(
         K[0, 0], K[1, 1], K[0, 1], K[0, 2], K[1, 2], dtype=jnp.float64
     )

@@ -351,62 +351,97 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
         ok_b = cand["ok"] & state.rb_valid
         age = state.step - state.rb_step
         score = jnp.where(ok_b, age, -1)
-        b = jnp.argmax(score).astype(jnp.int32)   # oldest passing slot
-        sel = jax.tree_util.tree_map(lambda x: x[b], cand)
+        # slots ranked oldest-passing first (failing slots sort last)
+        order = jnp.argsort(-score).astype(jnp.int32)
+        n_ok = jnp.sum(ok_b).astype(jnp.int32)
 
-        # ---- post-selection: ONE Sampson polish + LM refine -------------
-        rb_rays_b = state.rb_rays[b]
-        rb_sigma_b = state.rb_sigma[b]
-        pose2in1 = SE3(sel["R"], sel["t"])
-        r2 = sel["r2"]
-        inl = sel["inlier_mask"]
-        pose2in1 = epipolar.refine_relative_pose_sampson(
-            pose2in1, rb_rays_b, r2, inl.astype(dtype)
+        def refine_slot(b):
+            """ONE Sampson polish + LM refine of ring slot ``b``; returns
+            (passed_error_gate, enriched selection dict)."""
+            s = jax.tree_util.tree_map(lambda x: x[b], cand)
+            rb_rays_b = state.rb_rays[b]
+            rb_sigma_b = state.rb_sigma[b]
+            pose2in1 = SE3(s["R"], s["t"])
+            r2 = s["r2"]
+            inl = s["inlier_mask"]
+            pose2in1 = epipolar.refine_relative_pose_sampson(
+                pose2in1, rb_rays_b, r2, inl.astype(dtype)
+            )
+            points, point_mask = sfm.sfm_triangulate(
+                rb_rays_b, r2, inl, pose2in1
+            )
+            # base-frame observations are template centers — exact by
+            # construction (the triangulated point is the scene point imaged
+            # there); new-frame observations carry the tracker's noise
+            obs_sigma = s["obs_sigma"]
+            if p.use_klt:
+                sigma1 = jnp.full_like(obs_sigma, p.template_sigma_px / focal)
+                sigma1 = jnp.where(s["klt_valid"], sigma1, rb_sigma_b)
+            else:
+                sigma1 = rb_sigma_b
+            ref = sfm.sfm_refine(
+                rb_rays_b, r2, point_mask, pose2in1, points,
+                obs_stddev=jnp.stack([sigma1, obs_sigma]), gauge="scale_only",
+                ba_params=ba_mod.BAParams(max_iterations=p.ba_iterations,
+                                          compute_covariance=False,
+                                          compute_point_info=True),
+            )
+            n_obs = jnp.maximum(2 * jnp.sum(point_mask), 1)
+            mean_err = 2.0 * ref.error / n_obs.astype(dtype)
+            T = ref.pose2in1
+            # error gate needs the refined pair (reference check_image_pair,
+            # visual-odometer.cpp:348-382; it does NOT gate on LM
+            # convergence — gtsam LM runs to its cap too)
+            passed = (
+                (mean_err <= p.max_pair_mean_error)
+                & jnp.all(jnp.isfinite(T.t))
+            )
+            return passed, dict(
+                s,
+                R=T.R.astype(dtype), t=T.t.astype(dtype),
+                points=ref.points.astype(dtype),
+                point_info=ref.point_information.astype(dtype),
+                point_mask=point_mask,
+                mean_err=mean_err.astype(dtype),
+            )
+
+        # Walk the ranked slots until one passes the refined-error gate —
+        # the reference's pair scan falls back to a younger pair when the
+        # longest-baseline one fails ANY gate (visual-odometer.cpp:273-346),
+        # so a degenerate oldest slot must not sink the whole frame.
+        # Typical trip count is 1; the LM refine runs once per attempt.
+        K_pts = cand["r2"].shape[1]
+        sel0 = jax.tree_util.tree_map(
+            lambda x: x[order[0]], cand
         )
-        points, point_mask = sfm.sfm_triangulate(
-            rb_rays_b, r2, inl, pose2in1
+        sel0 = dict(
+            sel0,
+            points=jnp.zeros((K_pts, 3), dtype),
+            point_info=jnp.zeros((K_pts, 3, 3), dtype),
+            point_mask=jnp.zeros(K_pts, bool),
+            mean_err=jnp.asarray(jnp.inf, dtype),
         )
-        # base-frame observations are template centers — exact by
-        # construction (the triangulated point is the scene point imaged
-        # there); new-frame observations carry the tracker's noise
-        obs_sigma = sel["obs_sigma"]
-        if p.use_klt:
-            sigma1 = jnp.full_like(obs_sigma, p.template_sigma_px / focal)
-            sigma1 = jnp.where(sel["klt_valid"], sigma1, rb_sigma_b)
-        else:
-            sigma1 = rb_sigma_b
-        ref = sfm.sfm_refine(
-            rb_rays_b, r2, point_mask, pose2in1, points,
-            obs_stddev=jnp.stack([sigma1, obs_sigma]), gauge="scale_only",
-            ba_params=ba_mod.BAParams(max_iterations=p.ba_iterations,
-                                      compute_covariance=False,
-                                      compute_point_info=True),
-        )
-        n_obs = jnp.maximum(2 * jnp.sum(point_mask), 1)
-        mean_err = 2.0 * ref.error / n_obs.astype(dtype)
-        T = ref.pose2in1
-        # final accept = selected slot passed pre-gates AND the refined
-        # pair passes the reference's error gate (it does NOT gate on LM
-        # convergence — gtsam LM runs to its cap too)
-        any_ok = (
-            jnp.any(ok_b)
-            & (mean_err <= p.max_pair_mean_error)
-            & jnp.all(jnp.isfinite(T.t))
-        )
-        sel = dict(
-            sel,
-            R=T.R.astype(dtype), t=T.t.astype(dtype),
-            points=ref.points.astype(dtype),
-            point_info=ref.point_information.astype(dtype),
-            point_mask=point_mask,
-            mean_err=mean_err.astype(dtype),
+
+        def w_cond(carry):
+            i, passed, _, _ = carry
+            return jnp.logical_not(passed) & (i < n_ok)
+
+        def w_body(carry):
+            i, _, _, _ = carry
+            b = order[i]
+            passed, s = refine_slot(b)
+            return i + 1, passed, b, s
+
+        _, any_ok, b, sel = jax.lax.while_loop(
+            w_cond, w_body, (jnp.asarray(0, jnp.int32),
+                             jnp.asarray(False), order[0], sel0)
         )
 
         def accept(_):
             point_mask = sel["point_mask"]
             # seed map: slot i <- base feature i (masked); base frame = the
             # selected ring frame, which becomes the world frame
-            slots = jnp.arange(K_feat)
+            slots = jnp.arange(K_feat, dtype=jnp.int32)
             map_pos = jnp.zeros((M, 3), dtype).at[slots].set(sel["points"])
             map_desc = jnp.zeros((M, 8), jnp.uint32).at[slots].set(
                 state.rb_desc[b]
@@ -492,7 +527,7 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             max_distance=p.max_match_distance,
         )
         new_assoc_of_new_feat = jnp.full(K_feat, -1, jnp.int32).at[
-            jnp.where(m.mask, jnp.arange(K_feat), K_feat)
+            jnp.where(m.mask, jnp.arange(K_feat, dtype=jnp.int32), K_feat)
         ].set(m.idx.astype(jnp.int32), mode="drop")
         lm_ok = lm.mask & (new_assoc_of_new_feat[lm.idx] < 0)
         if p.use_klt:

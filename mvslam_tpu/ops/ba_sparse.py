@@ -156,7 +156,7 @@ def _residuals(poses: SE3, points: Array, prob: SparseBAProblem):
 
 
 def _cost(poses: SE3, points: Array, prob: SparseBAProblem,
-          axis_name: str | None = None) -> Array:
+          axis_name: str | tuple[str, ...] | None = None) -> Array:
     r, _, _ = _residuals(poses, points, prob)
     rx = points - prob.point_prior
     rp = prob.pose_prior.inverse().compose(poses).log()
@@ -184,7 +184,7 @@ class _Assembled(NamedTuple):
 
 
 def _assemble(poses: SE3, points: Array, prob: SparseBAProblem, lam,
-              axis_name: str | None = None) -> _Assembled:
+              axis_name: str | tuple[str, ...] | None = None) -> _Assembled:
     dtype = points.dtype
     F = prob.num_frames
     P, D = prob.obs_frame.shape
@@ -212,7 +212,7 @@ def _assemble(poses: SE3, points: Array, prob: SparseBAProblem, lam,
 
 
 def _schur_matvec(asm: _Assembled, x: Array, F: int,
-                  axis_name: str | None = None) -> Array:
+                  axis_name: str | tuple[str, ...] | None = None) -> Array:
     """Apply the reduced camera system ``S x`` without materializing S.
 
     ``S x = Hcc_d x - sum_p A_p Hpp_inv_p A_p^T x`` where ``A_p^T x``
@@ -231,7 +231,7 @@ def _schur_matvec(asm: _Assembled, x: Array, F: int,
 
 
 def _pcg(asm: _Assembled, rhs: Array, F: int, params: SparseBAParams,
-         axis_name: str | None = None) -> Array:
+         axis_name: str | tuple[str, ...] | None = None) -> Array:
     """Block-Jacobi preconditioned CG on the reduced camera system.
 
     Fixed iteration count (static for XLA); iterations past convergence are
@@ -284,14 +284,18 @@ def _pcg(asm: _Assembled, rhs: Array, F: int, params: SparseBAParams,
 def sparse_ba_solve(
     prob: SparseBAProblem,
     params: SparseBAParams = SparseBAParams(),
-    axis_name: str | None = None,
+    axis_name: str | tuple[str, ...] | None = None,
 ) -> SparseBAResult:
     """LM with inexact (PCG) Schur steps over fixed-degree observations.
 
     ``axis_name``: inside ``shard_map`` with the landmark axis of ``prob``
     sharded (poses/pose-priors replicated), the identical code runs the
     distributed solve; cross-shard traffic is one (F,6,6)+(F,6) psum per
-    assembly and one (F,6) psum per CG application.
+    assembly and one (F,6) psum per CG application. A tuple of axis names
+    reduces over several mesh axes at once — the hybrid ``(dcn, ici)``
+    layout of ``parallel.dist_ba_sparse.distributed_sparse_ba_solve_hybrid``
+    passes ``("dcn", "ici")`` so XLA lowers the psum hierarchically
+    (intra-host partials on ICI, one cross-host hop on DCN).
     """
     dtype = prob.points0.dtype
     F = prob.num_frames

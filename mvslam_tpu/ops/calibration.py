@@ -4,9 +4,15 @@ Our own rebuild of the numerical half of the reference's calibrate-camera
 app (``utility/calibrate-camera.cpp:77-215``, which delegates to
 ``cv::calibrateCamera``): per-view homographies (our DLT), the absolute-
 conic linear system for K, per-view extrinsics, and a joint Gauss-Newton
-refinement of intrinsics + extrinsics over all reprojections. No lens
-distortion — matching the reference's saved camera model, which is a pure
-pinhole (fx, fy, shear, px, py; ``vision/camera.hpp:13-55``).
+refinement of intrinsics + extrinsics over all reprojections. Radial lens
+distortion (k1, k2) is estimated jointly when asked
+(``estimate_distortion=True``) — the reference's calibrate-camera also
+estimates distortion coefficients and undistorts with them
+(``utility/calibrate-camera.cpp:171-186,208``); the reference's SAVED
+camera model stays a pure pinhole (fx, fy, shear, px, py;
+``vision/camera.hpp:13-55``), so the distortion lives in the calibration
+result and the :func:`undistort_points` / :func:`undistort_image` ops, not
+in :class:`~mvslam_tpu.ops.camera.PinholeCamera`.
 """
 
 from __future__ import annotations
@@ -27,6 +33,7 @@ class CalibrationResult(NamedTuple):
     extrinsics: SE3           # (V,) world->camera per view
     rms_error: Array          # pixels
     per_view_error: Array     # (V,)
+    dist: Array | None = None  # (2,) radial (k1, k2); None if not estimated
 
 
 def _vij(H: Array, i: int, j: int) -> Array:
@@ -94,14 +101,88 @@ def _extrinsics_from_homography(K: Array, H: Array) -> SE3:
     return SE3(R, t)
 
 
-def _project(K: Array, poses: SE3, X: Array) -> Array:
-    """Project shared (N, 3) board points through (V,) world->camera poses."""
+def distort_normalized(xy: Array, dist: Array) -> Array:
+    """Apply radial distortion ``x' = x (1 + k1 r^2 + k2 r^4)`` to ideal
+    (normalized) image coordinates ``xy (..., 2)``; ``dist = (k1, k2)``."""
+    r2 = jnp.sum(xy * xy, axis=-1, keepdims=True)
+    return xy * (1.0 + dist[0] * r2 + dist[1] * r2 * r2)
+
+
+def _project(K: Array, poses: SE3, X: Array,
+             dist: Array | None = None) -> Array:
+    """Project shared (N, 3) board points through (V,) world->camera poses
+    (with optional radial distortion applied in normalized coordinates)."""
     Xc = jnp.einsum("vij,nj->vni", poses.R, X) + poses.t[:, None, :]
     z = jnp.where(jnp.abs(Xc[..., 2]) < 1e-9, 1e-9, Xc[..., 2])
     xy = Xc[..., :2] / z[..., None]
+    if dist is not None:
+        xy = distort_normalized(xy, dist)
     return (
         jnp.einsum("ij,vnj->vni", K[:2, :2], xy) + K[:2, 2][None, None, :]
     )
+
+
+def undistort_points(pts: Array, K: Array, dist: Array,
+                     iterations: int = 8) -> Array:
+    """Distorted pixels ``(..., 2)`` -> undistorted pixels under the same K.
+
+    Inverts the radial model by fixed-point iteration in normalized
+    coordinates: ``x_{n+1} = x_d / (1 + k1 r_n^2 + k2 r_n^4)`` — the
+    standard inversion (converges for |k r^2| < 1, i.e. any physically
+    sane lens over its own field of view). The TPU-native shape of the
+    reference's ``cv::undistort`` half of ``calibrate-camera.cpp:208``.
+    """
+    dtype = pts.dtype
+    fxy = jnp.asarray([K[0, 0], K[1, 1]], dtype)
+    cxy = jnp.asarray([K[0, 2], K[1, 2]], dtype)
+    shear = K[0, 1]
+    # pixel -> normalized (invert [[fx, s], [0, fy]])
+    yn = (pts[..., 1] - cxy[1]) / fxy[1]
+    xn = (pts[..., 0] - cxy[0] - shear * yn) / fxy[0]
+    xd = jnp.stack([xn, yn], axis=-1)
+
+    def body(_, x):
+        r2 = jnp.sum(x * x, axis=-1, keepdims=True)
+        return xd / (1.0 + dist[0] * r2 + dist[1] * r2 * r2)
+
+    xu = jax.lax.fori_loop(0, iterations, body, xd)
+    u = fxy[0] * xu[..., 0] + shear * xu[..., 1] + cxy[0]
+    v = fxy[1] * xu[..., 1] + cxy[1]
+    return jnp.stack([u, v], axis=-1)
+
+
+def undistort_image(img: Array, K: Array, dist: Array) -> Array:
+    """Resample a distorted ``(H, W)`` image onto the undistorted grid
+    (bilinear; out-of-image samples clamp to the border — the preview the
+    reference shows after calibration, ``calibrate-camera.cpp:199-213``).
+
+    For each UNDISTORTED output pixel we distort its ray to find where the
+    lens imaged it (the forward model — no iteration needed here).
+    """
+    dtype = img.dtype
+    H, W = img.shape
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=dtype),
+                          jnp.arange(W, dtype=dtype), indexing="ij")
+    fxy = jnp.asarray([K[0, 0], K[1, 1]], dtype)
+    cxy = jnp.asarray([K[0, 2], K[1, 2]], dtype)
+    shear = K[0, 1]
+    yn = (yy - cxy[1]) / fxy[1]
+    xn = (xx - cxy[0] - shear * yn) / fxy[0]
+    xyd = distort_normalized(jnp.stack([xn, yn], axis=-1), dist)
+    u = fxy[0] * xyd[..., 0] + shear * xyd[..., 1] + cxy[0]
+    v = fxy[1] * xyd[..., 1] + cxy[1]
+    u = jnp.clip(u, 0.0, W - 1.0)
+    v = jnp.clip(v, 0.0, H - 1.0)
+    u0 = jnp.clip(jnp.floor(u), 0, W - 2).astype(jnp.int32)
+    v0 = jnp.clip(jnp.floor(v), 0, H - 2).astype(jnp.int32)
+    du = (u - u0).astype(dtype)
+    dv = (v - v0).astype(dtype)
+    p00 = img[v0, u0]
+    p01 = img[v0, u0 + 1]
+    p10 = img[v0 + 1, u0]
+    p11 = img[v0 + 1, u0 + 1]
+    return ((1 - dv) * ((1 - du) * p00 + du * p01)
+            + dv * ((1 - du) * p10 + du * p11))
 
 
 def calibrate_planar(
@@ -109,11 +190,17 @@ def calibrate_planar(
     image_points: Array,
     weights: Array,
     refine_iterations: int = 10,
+    estimate_distortion: bool = False,
 ) -> CalibrationResult:
     """Full calibration from V views of a planar target.
 
     board_points: (N, 2) target-plane coordinates (Z = 0) shared by views;
     image_points: (V, N, 2) detected pixels; weights: (V, N) validity.
+    ``estimate_distortion=True`` additionally estimates radial (k1, k2)
+    jointly with intrinsics/extrinsics (reference parity:
+    ``calibrate-camera.cpp:171-186`` estimates distortion too); the
+    homography/conic initialization stays distortion-free — standard
+    Zhang: distortion starts at 0 and is resolved by the joint refine.
     """
     dtype = image_points.dtype
     V, N = image_points.shape[:2]
@@ -122,28 +209,30 @@ def calibrate_planar(
     K0 = _intrinsics_from_homographies(Hs)
     poses0 = _extrinsics_from_homography(K0, Hs)
     X = jnp.concatenate([board_points, jnp.zeros((N, 1), dtype)], axis=-1)
+    n_dist = 2 if estimate_distortion else 0
 
-    # joint GN over [fx, fy, shear, u0, v0] + V * 6 extrinsics
+    # joint GN over [fx, fy, shear, u0, v0] (+ [k1, k2]) + V * 6 extrinsics
     def unpack(theta):
         K = jnp.asarray(
             [[theta[0], theta[2], theta[3]],
              [0.0, theta[1], theta[4]],
              [0.0, 0.0, 1.0]], dtype,
         )
-        xi = theta[5:].reshape(V, 6)
+        dist = theta[5:5 + n_dist] if estimate_distortion else None
+        xi = theta[5 + n_dist:].reshape(V, 6)
         poses = poses0.compose(SE3.exp(xi))
-        return K, poses
+        return K, dist, poses
 
     def residuals(theta):
-        K, poses = unpack(theta)
+        K, dist, poses = unpack(theta)
         # poses here are world->camera: project X through pose directly
-        proj = _project(K, poses, X)
+        proj = _project(K, poses, X, dist)
         r = (proj - image_points) * weights[..., None]
         return r.reshape(-1)
 
     theta0 = jnp.concatenate(
         [jnp.asarray([K0[0, 0], K0[1, 1], K0[0, 1], K0[0, 2], K0[1, 2]], dtype),
-         jnp.zeros((V * 6,), dtype)]
+         jnp.zeros((n_dist + V * 6,), dtype)]
     )
 
     def gn_step(_, theta):
@@ -161,7 +250,7 @@ def calibrate_planar(
         return jnp.where(better, new, theta)
 
     theta = jax.lax.fori_loop(0, refine_iterations, gn_step, theta0)
-    K, poses = unpack(theta)
+    K, dist, poses = unpack(theta)
     r = residuals(theta).reshape(V, N, 2)
     n_obs = jnp.maximum(jnp.sum(weights), 1.0)
     rms = jnp.sqrt(jnp.sum(r**2) / n_obs)
@@ -169,4 +258,4 @@ def calibrate_planar(
         jnp.sum(r**2, axis=(1, 2)) / jnp.maximum(jnp.sum(weights, 1), 1.0)
     )
     return CalibrationResult(K=K, extrinsics=poses, rms_error=rms,
-                             per_view_error=per_view)
+                             per_view_error=per_view, dist=dist)

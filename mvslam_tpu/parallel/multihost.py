@@ -75,11 +75,15 @@ def make_hybrid_mesh(devices: Sequence[jax.Device] | None = None,
     """2-D ``(dcn, ici)`` mesh, slow axis outermost.
 
     ``dcn_size`` defaults to ``jax.process_count()`` — one DCN group per
-    host — and must divide the device count. Devices are grouped so each
-    DCN row holds exactly one process's local devices (JAX enumerates
-    ``jax.devices()`` grouped by process, so a plain reshape keeps every
-    ICI ring intra-host). With one process this is a ``(1, n)`` mesh and
-    every collective runs over ICI.
+    host — and must divide the device count. Devices are grouped
+    **explicitly by ``process_index``** (stable-sorted) before the
+    reshape: JAX sorts ``jax.devices()`` by id and does not guarantee
+    process-contiguous ordering on every platform/topology, and a DCN
+    row that silently mixes processes would put the bandwidth-hungry
+    Schur psums on DCN instead of ICI. When ``dcn_size`` matches the
+    process count each mesh row is asserted single-process. With one
+    process this is a ``(1, n)`` mesh and every collective runs over
+    ICI.
     """
     if devices is None:
         devices = jax.devices()
@@ -89,7 +93,15 @@ def make_hybrid_mesh(devices: Sequence[jax.Device] | None = None,
     if n % dcn_size != 0:
         raise ValueError(
             f"device count {n} not divisible by dcn axis {dcn_size}")
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
     grid = np.asarray(devices).reshape(dcn_size, n // dcn_size)
+    if dcn_size == jax.process_count() and dcn_size > 1:
+        for row in grid:
+            procs = {d.process_index for d in row}
+            if len(procs) != 1:
+                raise ValueError(
+                    f"mesh ICI row spans processes {sorted(procs)}; "
+                    "per-host device counts are uneven")
     return Mesh(grid, (DCN_AXIS, ICI_AXIS))
 
 

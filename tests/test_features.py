@@ -68,6 +68,27 @@ def test_orb_detect_shapes_and_masks():
     assert (xy[:, 1] >= 0).all() and (xy[:, 1] < 192).all()
 
 
+def test_orb_batched_layout_parity():
+    """The (L, H, W) canvas-batched pyramid layout must produce EXACTLY the
+    features of the per-level unrolled layout (``OrbParams.batched`` is an
+    A/B perf switch, not a semantics switch) — on a real frame, across
+    mask, xy, octave, angle, and descriptors."""
+    img = jnp.asarray(load_image_grayscale(f"{TSUKUBA}/1.jpg"), F32)
+    base = features.OrbParams(max_features=256)
+    f_u = features.orb_detect(img, base._replace(batched=False))
+    f_b = features.orb_detect(img, base._replace(batched=True))
+    np.testing.assert_array_equal(np.asarray(f_u.mask), np.asarray(f_b.mask))
+    sel = np.asarray(f_u.mask)
+    np.testing.assert_array_equal(np.asarray(f_u.xy)[sel],
+                                  np.asarray(f_b.xy)[sel])
+    np.testing.assert_array_equal(np.asarray(f_u.octave)[sel],
+                                  np.asarray(f_b.octave)[sel])
+    np.testing.assert_allclose(np.asarray(f_u.angle)[sel],
+                               np.asarray(f_b.angle)[sel], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(f_u.desc)[sel],
+                                  np.asarray(f_b.desc)[sel])
+
+
 def test_descriptor_stability_under_shift():
     """Same content shifted -> matched descriptors nearly identical."""
     rng = np.random.default_rng(1)
