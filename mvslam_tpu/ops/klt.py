@@ -59,32 +59,31 @@ def smooth_image(img: Array, passes: int = 3) -> Array:
     tracking on a pre-smoothed copy removes most of it. Templates and the
     tracked image must use the SAME smoothing.
     """
-    k = jnp.asarray([0.25, 0.5, 0.25], img.dtype)
-    kern_v = k.reshape(1, 1, 3, 1)
-    kern_h = k.reshape(1, 1, 1, 3)
-    x = img[None, None]
+    # shift-based separable taps (NOT lax.conv: the small-image conv path
+    # costs ~0.5 ms/call on the tunneled v5e — see features.sep_filter3)
+    from mvslam_tpu.ops.features import sep_filter3
+
+    k = (0.25, 0.5, 0.25)
+    x = img
     for _ in range(passes):
-        x = jax.lax.conv_general_dilated(x, kern_v, (1, 1), "SAME")
-        x = jax.lax.conv_general_dilated(x, kern_h, (1, 1), "SAME")
-    return x[0, 0]
+        x = sep_filter3(x, k, k)
+    return x
 
 
 def _local_patches(img: Array, xy: Array):
     """(N, P, P) integer-anchored local patches + float anchors (N, 2).
 
-    One contiguous ``dynamic_slice`` tile per keypoint — the only gather in
-    the whole tracker.
+    One-hot matmul patch gather (``features.extract_patches_onehot``) —
+    the per-keypoint ``dynamic_slice`` form serializes ~N slices on the
+    tunneled v5e; the MXU row/column-select form is ~7x faster and
+    bit-identical.
     """
+    from mvslam_tpu.ops.features import extract_patches_onehot
+
     H, W_img = img.shape
-    hw = _LOCAL_HW
-    padded = jnp.pad(img, hw, mode="edge")
     ax = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, W_img - 1)
     ay = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, H - 1)
-
-    def one(ax_, ay_):
-        return jax.lax.dynamic_slice(padded, (ay_, ax_), (_LOCAL_P, _LOCAL_P))
-
-    local = jax.vmap(one)(ax, ay)
+    local = extract_patches_onehot(img, xy, _LOCAL_HW)
     anchor = jnp.stack([ax, ay], axis=-1).astype(img.dtype)
     return local, anchor
 

@@ -70,28 +70,32 @@ def main():
                 return obs_rays.sum() + state.map_pos[m.idx].sum()
             map_pts = state.map_pos[m.idx]
             thr_sq = (p.pnp_reproj_px / focal) ** 2
-            idx6 = ransac_mod.sample_minimal_sets(key, m.mask, p.pnp_hypotheses, 6)
-            Xs, rs = map_pts[idx6], obs_rays[idx6]
-            w6 = jnp.ones(idx6.shape, jnp.float32)
+            # pnp_ransac_core sub-stages (Grunert P3P path, ops/pnp.py:221)
+            from mvslam_tpu.ops import p3p as p3p_mod
+            idx3 = ransac_mod.sample_minimal_sets(key, m.mask, p.pnp_hypotheses, 3)
+            Xs, rs = map_pts[idx3], obs_rays[idx3]
+            bear = rs / jnp.maximum(
+                jnp.linalg.norm(rs, axis=-1, keepdims=True), 1e-20)
             if stage == "pnp_sample":
-                return Xs.sum() + rs.sum()
-            R_raw, t_raw = pnp._pose_dlt(Xs, rs, w6)
-            if stage == "pnp_dlt":
-                return R_raw.sum() + t_raw.sum()
-            poses_h = pnp._pose_from_dlt(R_raw, t_raw, Xs, w6)
-            if stage == "pnp_fromdlt":
-                return poses_h.t.sum()
+                return Xs.sum() + bear.sum()
+            cand, cand_valid = p3p_mod.p3p_solve(Xs, bear)
+            if stage == "pnp_p3p":
+                return cand.t.sum()
+            Hh = p.pnp_hypotheses
+            C = cand_valid.shape[-1]
+            poses_h = SE3(cand.R.reshape(Hh * C, 3, 3), cand.t.reshape(Hh * C, 3))
+            flat_valid = cand_valid.reshape(Hh * C)
             errs = pnp.reprojection_error_sq(
                 SE3(poses_h.R[:, None], poses_h.t[:, None]),
                 map_pts[None], obs_rays[None])
+            errs = jnp.where(flat_valid[:, None], errs, jnp.inf)
             if stage == "pnp_errs":
                 return errs.sum()
             best, inl, _ = ransac_mod._select_best(errs, m.mask, thr_sq)
             if stage == "pnp_select":
                 return best + inl.sum()
-            pose0 = SE3(poses_h.R[best], poses_h.t[best])
-            pose0 = pnp.refine_pose_gn(pose0, map_pts, obs_rays,
-                                       inl[best].astype(jnp.float32))
+            pose0, best_inl = pnp.pnp_ransac_core(
+                map_pts, obs_rays, m.mask, key, p.pnp_hypotheses, thr_sq)
             if stage == "pnp":
                 return pose0.t.sum()
             lm = matching.match_features(
@@ -149,8 +153,8 @@ def main():
     key = jax.random.PRNGKey(7)
     prev = 0.0
     for stage in ["preprocess", "match", "klt", "klt+gather", "pnp_sample",
-                  "pnp_dlt", "pnp_fromdlt", "pnp_errs", "pnp_select", "pnp",
-                  "tri", "ba25"]:
+                  "pnp_p3p", "pnp_errs", "pnp_select", "pnp",
+                  "tri", "ba5", "ba10", "ba25"]:
         fn = stage_fn(stage)
         out = fn(state, image, key)
         jax.block_until_ready(out)
