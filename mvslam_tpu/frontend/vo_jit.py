@@ -136,6 +136,10 @@ class VoStepOut(NamedTuple):
     num_inliers: Array          # () int32
     mean_error: Array           # () float32
     pnp_t: Array                # (3,) pre-BA PnP translation (diagnostics)
+    # bootstrap diagnostics: ring slots refined by do_init's ranked walk
+    # this step (0 = none passed the pre-gates, or not in INITIALIZING;
+    # >1 = the fallback engaged past a slot that failed the error gate)
+    init_tried: Array
 
 
 def vo_init_state(params: VoJitParams, dtype=jnp.float32,
@@ -272,6 +276,7 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             num_inliers=jnp.asarray(0, jnp.int32),
             mean_error=jnp.asarray(jnp.inf, state.pose_t.dtype),
             pnp_t=jnp.zeros(3, state.pose_t.dtype),
+            init_tried=jnp.asarray(0, jnp.int32),
         )
         return new_state, out
 
@@ -432,7 +437,7 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             passed, s = refine_slot(b)
             return i + 1, passed, b, s
 
-        _, any_ok, b, sel = jax.lax.while_loop(
+        n_tried, any_ok, b, sel = jax.lax.while_loop(
             w_cond, w_body, (jnp.asarray(0, jnp.int32),
                              jnp.asarray(False), order[0], sel0)
         )
@@ -490,7 +495,7 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             success=any_ok, mode=new_state.mode,
             pose_R=new_state.pose_R, pose_t=new_state.pose_t,
             num_inliers=sel["n_inl"], mean_error=sel["mean_err"],
-            pnp_t=sel["t"],
+            pnp_t=sel["t"], init_tried=n_tried,
         )
         return new_state, out
 
@@ -698,6 +703,7 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             pose_R=new_state.pose_R, pose_t=new_state.pose_t,
             num_inliers=n_inl, mean_error=mean_err.astype(dtype),
             pnp_t=pose0.t.astype(dtype),
+            init_tried=jnp.asarray(0, jnp.int32),
         )
         return new_state, out
 

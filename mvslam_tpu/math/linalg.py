@@ -85,6 +85,175 @@ def homogeneous_solve(A: Array) -> Array:
     return smallest_eigvec_psd(AtA)
 
 
+def smallest_eigvecs2_psd(M: Array, iterations: int = 8
+                          ) -> tuple[Array, Array]:
+    """Orthonormal basis (v1, v2) of the 2-dim bottom-eigenvalue subspace
+    of a symmetric PSD batch — the two-vector sibling of
+    :func:`smallest_eigvec_psd`, same spectral-amplification core (pure
+    batched matmuls; batched ``jnp.linalg.eigh`` on a (256, 9, 9) RANSAC
+    batch costs ~3.4 ms on the tunneled v5e vs ~5 us for this chain).
+
+    ``v1`` converges to the smallest eigenvector. ``v2`` is the
+    Gram-Schmidt complement of a second amplified start: exact when the
+    two smallest eigenvalues tie (the degenerate-DLT case this exists
+    for), approximately the second-smallest eigenvector otherwise. When
+    amplification collapses both starts onto ``v1`` (huge gap), ``v2``
+    degrades to an arbitrary orthogonal direction — acceptable for null-
+    SPAN searches (``epipolar._span_candidates`` scores every candidate;
+    junk directions lose), not for callers needing the true eigenvector.
+    """
+    dtype = M.dtype
+    n = M.shape[-1]
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    eye = jnp.eye(n, dtype=dtype)
+    c = jnp.trace(M, axis1=-2, axis2=-1)[..., None, None]
+    c = jnp.abs(c) * (1.0 + jnp.asarray(jnp.finfo(dtype).eps, dtype)) + tiny
+    B = (c * eye - M) / c
+    # c = trace overestimates lambda_max by ~n, so per-squaring separation
+    # is weak; unlike the single-vector variant this must also split the
+    # 2-dim null space from the NEXT-smallest eigenvalue, which can sit at
+    # ~3e-6 of c on degenerate minimal sets (cube/L rigs) — 2^24 drives
+    # that ratio to ~1e-12 while each squaring costs ~us (renormalized, so
+    # arbitrarily many squarings are numerically safe)
+    iterations = max(iterations, 24) if n > 2 else iterations
+    for _ in range(iterations):
+        B = B @ B
+        scale = jnp.max(jnp.abs(B), axis=(-2, -1), keepdims=True)
+        B = B / jnp.maximum(scale, tiny)
+    base = jnp.arange(1, n + 1, dtype=dtype)
+    starts = jnp.stack(
+        [jnp.sin(base * 12.9898) + 0.5, jnp.cos(base * 78.233) - 0.25],
+        axis=-1,
+    )                                                   # (n, 2)
+    X = B @ jnp.broadcast_to(starts, M.shape[:-2] + (n, 2))
+    x1 = X[..., 0]
+    x2 = X[..., 1]
+    v1 = x1 / jnp.maximum(jnp.linalg.norm(x1, axis=-1, keepdims=True), tiny)
+    x2 = x2 - jnp.sum(v1 * x2, axis=-1, keepdims=True) * v1
+    n2 = jnp.linalg.norm(x2, axis=-1, keepdims=True)
+    # collapsed second start: fall back to a fixed direction orthogonalized
+    # against v1 (junk but valid; see docstring)
+    fb = jnp.broadcast_to(eye[:, 0], v1.shape)
+    fb = fb - jnp.sum(v1 * fb, axis=-1, keepdims=True) * v1
+    fb2 = jnp.broadcast_to(eye[:, min(1, n - 1)], v1.shape)
+    fb2 = fb2 - jnp.sum(v1 * fb2, axis=-1, keepdims=True) * v1
+    fb = jnp.where(
+        jnp.linalg.norm(fb, axis=-1, keepdims=True) > 0.1, fb, fb2
+    )
+    eps2 = jnp.asarray(jnp.finfo(dtype).eps, dtype) * 16
+    x2 = jnp.where(n2 > eps2, x2, fb)
+    v2 = x2 / jnp.maximum(
+        jnp.linalg.norm(x2, axis=-1, keepdims=True), tiny
+    )
+    return v1, v2
+
+
+def eigh3x3_full(H: Array) -> tuple[Array, Array]:
+    """All (eigenvalues, eigenvectors) of a symmetric 3x3 batch, closed
+    form, eigenvalues DESCENDING; eigenvectors are the COLUMNS of the
+    returned (..., 3, 3).
+
+    Cardano eigenvalues + adjugate-cross eigenvectors for the extreme
+    eigenvalues, middle vector by cross product — no iterative solver
+    (batched ``jnp.linalg.svd``/``eigh`` on (1280, 3, 3) costs ~8.6 ms on
+    the tunneled v5e; this is a handful of fused elementwise passes).
+    Repeated-eigenvalue inputs get an arbitrary orthonormal basis of the
+    eigenspace, like ``eigh``.
+    """
+    dtype = H.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny ** 0.5, dtype)
+    q = jnp.trace(H, axis1=-2, axis2=-1) / 3.0
+    A = H - q[..., None, None] * jnp.eye(3, dtype=dtype)
+    p2 = jnp.sum(A * A, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, tiny))
+    B = A / p[..., None, None]
+    r = jnp.clip(jnp.linalg.det(B) / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)                          # largest
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)     # smallest
+    lam2 = 3.0 * q - lam1 - lam3
+
+    def adjvec(lam, fallback):
+        As = H - lam[..., None, None] * jnp.eye(3, dtype=dtype)
+        r0, r1, r2 = As[..., 0, :], As[..., 1, :], As[..., 2, :]
+        cands = jnp.stack(
+            [jnp.cross(r0, r1), jnp.cross(r1, r2), jnp.cross(r2, r0)],
+            axis=-2,
+        )
+        norms = jnp.linalg.norm(cands, axis=-1)
+        best = jnp.argmax(norms, axis=-1)
+        v = jnp.take_along_axis(
+            cands, best[..., None, None].astype(jnp.int32), axis=-2
+        )[..., 0, :]
+        nv = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        fb = jnp.broadcast_to(fallback, v.shape)
+        return jnp.where(nv > tiny, v / jnp.maximum(nv, tiny), fb)
+
+    v1 = adjvec(lam1, jnp.asarray([1.0, 0.0, 0.0], dtype))
+    v3 = adjvec(lam3, jnp.asarray([0.0, 0.0, 1.0], dtype))
+    # enforce orthogonality under near-degeneracy, then complete the triad
+    v3 = v3 - jnp.sum(v1 * v3, axis=-1, keepdims=True) * v1
+    n3 = jnp.linalg.norm(v3, axis=-1, keepdims=True)
+    fb = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], dtype), v1.shape)
+    fb = fb - jnp.sum(v1 * fb, axis=-1, keepdims=True) * v1
+    v3 = jnp.where(n3 > tiny, v3 / jnp.maximum(n3, tiny),
+                   fb / jnp.maximum(jnp.linalg.norm(fb, axis=-1,
+                                                    keepdims=True), tiny))
+    v2 = jnp.cross(v3, v1)
+    lams = jnp.stack([lam1, lam2, lam3], axis=-1)
+    V = jnp.stack([v1, v2, v3], axis=-1)
+    return lams, V
+
+
+def svd3x3(M: Array) -> tuple[Array, Array, Array]:
+    """Closed-form batched 3x3 SVD: ``M = U diag(s) V^T``, s descending,
+    U and V orthogonal (not necessarily proper rotations — same contract
+    as ``jnp.linalg.svd``, which this replaces on the hot path).
+
+    V and s from the Cardano eigendecomposition of ``M^T M``; U columns
+    by mapping V through M with a Gram-Schmidt completion wherever a
+    singular value underflows (rank-deficient inputs). The third left
+    column is reconstructed for orthogonality under (near-)degeneracy, so
+    its SIGN may differ from the exact SVD's — all hot-path callers
+    (rank-2/essential projection, E decomposition) zero or sign-fix the
+    s3 dyad and are unaffected.
+    """
+    dtype = M.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny ** 0.5, dtype)
+    lams, V = eigh3x3_full(jnp.swapaxes(M, -1, -2) @ M)
+    s = jnp.sqrt(jnp.maximum(lams, 0.0))                  # (..., 3) desc
+    MV = M @ V                                            # (..., 3, 3)
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    ok = s > (s[..., :1] * eps * 64 + tiny)
+    u1 = MV[..., :, 0] / jnp.maximum(s[..., 0, None], tiny)
+    u2 = MV[..., :, 1] / jnp.maximum(s[..., 1, None], tiny)
+    u3 = MV[..., :, 2] / jnp.maximum(s[..., 2, None], tiny)
+    # Gram-Schmidt repair of deficient columns
+    def unit(x):
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                               tiny)
+
+    u1 = jnp.where(ok[..., 0, None], unit(u1),
+                   jnp.broadcast_to(jnp.asarray([1.0, 0, 0], dtype),
+                                    u1.shape))
+    u2 = u2 - jnp.sum(u1 * u2, axis=-1, keepdims=True) * u1
+    fb2 = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], dtype), u1.shape)
+    fb2 = fb2 - jnp.sum(u1 * fb2, axis=-1, keepdims=True) * u1
+    u2 = jnp.where(
+        ok[..., 1, None]
+        & (jnp.linalg.norm(u2, axis=-1, keepdims=True) > eps * 16),
+        unit(u2), unit(fb2 + tiny))
+    u3c = jnp.cross(u1, u2)
+    u3 = jnp.where(ok[..., 2, None], unit(u3), u3c)
+    # keep U orthogonal even when s3 is valid but tiny-ish
+    u3 = jnp.where(
+        jnp.abs(jnp.sum(u3 * u3c, axis=-1, keepdims=True)) > 0.5,
+        u3, u3c,
+    )
+    U = jnp.stack([u1, u2, u3], axis=-1)
+    return U, s, jnp.swapaxes(V, -1, -2)
+
+
 def project_to_so3_svd(M: Array) -> Array:
     """Nearest rotation via full SVD (slow on TPU; kept as the oracle)."""
     U, _, Vt = jnp.linalg.svd(M)

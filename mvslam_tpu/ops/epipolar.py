@@ -122,9 +122,11 @@ def _solve_epipolar_span(p1: Array, p2: Array, weights: Array) -> tuple[Array, A
     """
     A = _dlt_rows(p1, p2) * weights[..., None]
     AtA = jnp.swapaxes(A, -1, -2) @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    e1 = vecs[..., :, 0].reshape(AtA.shape[:-2] + (3, 3))
-    e2 = vecs[..., :, 1].reshape(AtA.shape[:-2] + (3, 3))
+    # amplified 2-vector null-span extraction (pure batched matmuls);
+    # batched eigh here cost 3.4 ms per 256-hypothesis RANSAC batch
+    v1, v2 = linalg.smallest_eigvecs2_psd(AtA)
+    e1 = v1.reshape(AtA.shape[:-2] + (3, 3))
+    e2 = v2.reshape(AtA.shape[:-2] + (3, 3))
     return e1, e2
 
 
@@ -164,8 +166,10 @@ def _apply_transform2d(T: Array, p: Array) -> Array:
 
 def _project_rank2(F: Array) -> Array:
     """Zero the smallest singular value (fundamental-matrix structure,
-    reference ``vision/fundamental-matrix.cpp:128-136``)."""
-    U, s, Vt = jnp.linalg.svd(F)
+    reference ``vision/fundamental-matrix.cpp:128-136``). Closed-form
+    3x3 SVD — iterative ``jnp.linalg.svd`` on the (H, 5, 3, 3) candidate
+    batch cost 8.6 ms per RANSAC solve on the tunneled v5e."""
+    U, s, Vt = linalg.svd3x3(F)
     s = s.at[..., 2].set(0.0)
     return (U * s[..., None, :]) @ Vt
 
@@ -173,8 +177,9 @@ def _project_rank2(F: Array) -> Array:
 def _project_essential(E: Array) -> Array:
     """Impose two equal singular values and a zero third:
     ``E = U diag(s, s, 0) V^T``, ``s = (s1 + s2) / 2`` (reference
-    ``find_essential_matrix``, ``vision/sfm-solve.cpp:62-90``)."""
-    U, s, Vt = jnp.linalg.svd(E)
+    ``find_essential_matrix``, ``vision/sfm-solve.cpp:62-90``). Closed-
+    form 3x3 SVD (see :func:`_project_rank2`)."""
+    U, s, Vt = linalg.svd3x3(E)
     s_mean = 0.5 * (s[..., 0] + s[..., 1])
     s_new = jnp.stack([s_mean, s_mean, jnp.zeros_like(s_mean)], axis=-1)
     return (U * s_new[..., None, :]) @ Vt
@@ -376,7 +381,7 @@ def decompose_essential_matrix(E: Array) -> tuple[Array, Array]:
     (R1, +t), (R1, -t), (R2, +t), (R2, -t) with ``R1 = U W V^T``,
     ``R2 = U W^T V^T`` made proper rotations.
     """
-    U, _, Vt = jnp.linalg.svd(E)
+    U, _, Vt = linalg.svd3x3(E)
     dtype = E.dtype
     W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype)
     # make U, V proper rotations so R below is a rotation

@@ -126,22 +126,26 @@ def test_bootstrap_window_skips_garbage_frame():
 
 def test_bootstrap_falls_back_when_oldest_slot_fails_error_gate():
     """The refined-error gate must not sink the whole frame when a younger
-    ring slot would pass: the while-loop in ``do_init`` walks ranked slots
+    ring slot would pass: ``do_init`` walks ranked slots with a while_loop
     until one clears the gate (the reference pair scan falls back to a
-    younger pair when the longest-baseline one fails ANY gate,
-    visual-odometer.cpp:273-346).
+    younger pair too, visual-odometer.cpp:273-346). ``VoStepOut.init_tried``
+    counts the slots refined, making the walk directly observable.
 
-    Construction: feed frame 1, then perturb its stored ring rays by
-    0.15 px Gaussian noise — small enough that E-RANSAC and the pose
-    pre-gates (inliers / rotation / tz) still pass, large enough that the
-    LM-refined mean error (~0.12-0.14) fails a 0.10 gate. Frame 2 is then
-    rejected BY THE ERROR GATE (finite reported error proves the
-    pre-gates passed). At frame 3 the ring holds [corrupt-f1, clean-f2]:
-    a high-gate control step on the same state accepts the oldest
-    corrupt slot (err ~0.14 > 0.10, ~93 inliers), so under the 0.10 gate
-    the tracker must walk past it and accept the clean younger pair
-    (err ~0.05, ~167 inliers). The pre-fallback code rejected the whole
-    frame in exactly this situation.
+    Construction (deterministic; retune with tools of /tmp probes if the
+    geometry numerics change): feed frame 1 under a never-accepting gate,
+    perturb its stored ring rays by 0.13 px Gaussian noise — small enough
+    that E-RANSAC and the pose pre-gates still pass, large enough that the
+    LM-refined mean error (~0.12) fails a 0.10 gate — then feed frame 2
+    (rejected by the tiny gate, joins the ring). At frame 3 the ring holds
+    [corrupt-f1 (oldest), clean-f2]:
+
+    - control step with gate=2.0 accepts the FIRST walked slot:
+      init_tried == 1 and its error ~0.12 > 0.10 -> the oldest slot
+      passes pre-gates but would fail a 0.10 error gate;
+    - step with gate=0.10 must walk PAST it and accept the clean pair:
+      init_tried == 2, success, error ~0.06 <= 0.10.
+
+    The pre-fallback code rejected the whole frame in exactly this case.
     """
     cam = PinholeCamera.load_from_file(f"{TSUKUBA}/camera.config")
     K_inv = jnp.asarray(np.linalg.inv(np.asarray(cam.K)), jnp.float32)
@@ -149,35 +153,32 @@ def test_bootstrap_falls_back_when_oldest_slot_fails_error_gate():
     focal_j = jnp.asarray(focal, jnp.float32)
     imgs = {i: load_image_grayscale(f"{TSUKUBA}/{i}.jpg") for i in (1, 2, 3)}
     GATE = 0.10
+    step_tiny = make_vo_step(VoJitParams(max_pair_mean_error=1e-9))
     step_lo = make_vo_step(VoJitParams(max_pair_mean_error=GATE))
     step_hi = make_vo_step(VoJitParams(max_pair_mean_error=2.0))
 
-    st = vo_init_state(VoJitParams(max_pair_mean_error=GATE))
-    st, _ = step_lo(st, imgs[1], K_inv, focal_j)
+    st = vo_init_state(VoJitParams(max_pair_mean_error=1e-9), seed=4)
+    st, _ = step_tiny(st, imgs[1], K_inv, focal_j)
     rng = np.random.default_rng(7)
-    pert = rng.normal(scale=0.15 / focal, size=(st.rb_rays.shape[1], 2))
+    pert = rng.normal(scale=0.13 / focal, size=(st.rb_rays.shape[1], 2))
     rb = np.array(st.rb_rays)
     rb[0, :, :2] += pert
     st = st._replace(rb_rays=jnp.asarray(rb, st.rb_rays.dtype))
-
-    st, o2 = step_lo(st, imgs[2], K_inv, focal_j)
-    # rejected by the ERROR gate: a finite reported error means the slot
-    # passed the pre-gates and was refined (pre-gate failure reports inf)
+    st, o2 = step_tiny(st, imgs[2], K_inv, focal_j)
     assert not bool(o2.success)
-    err2 = float(o2.mean_error)
-    assert np.isfinite(err2) and err2 > GATE, err2
 
-    # control: with the gate out of the way, the oldest (corrupt) slot is
-    # selected and accepted -> it passes the pre-gates at frame 3 too
+    # control: gate out of the way -> first walked slot (the corrupt
+    # oldest) is accepted, and its refined error is above GATE
     _, o3_hi = step_hi(st, imgs[3], K_inv, focal_j)
     assert bool(o3_hi.success)
+    assert int(o3_hi.init_tried) == 1
     assert float(o3_hi.mean_error) > GATE, float(o3_hi.mean_error)
 
-    # under the tight gate the tracker must fall back to the clean
-    # younger pair: accepted, error within the gate, and a different
-    # (larger) inlier count than the corrupt slot the control accepted
+    # under the tight gate the walk must continue to the clean younger
+    # slot and accept it
     st3, o3 = step_lo(st, imgs[3], K_inv, focal_j)
     assert bool(o3.success), "younger slot must rescue the frame"
+    assert int(o3.init_tried) == 2, int(o3.init_tried)
     assert int(o3.mode) == MODE_TRACKING
     assert float(o3.mean_error) <= GATE, float(o3.mean_error)
     assert int(o3.num_inliers) > int(o3_hi.num_inliers)
