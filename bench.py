@@ -46,7 +46,17 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 TSUKUBA = "/root/reference/data/tsukuba"
-ATE_BOUND = 0.08
+# Achieved envelope is ate_max ~0.0185 (r4 accuracy sweep); 0.03 enforces
+# it with ~60% headroom so a silent accuracy regression fails the bench.
+# The remaining distance to the reference's observed ~0.005
+# (test-visual-odometer.cpp:62,98-102) is the two-view bootstrap depth
+# noise floor: sigma_z/z ~ (z/(f*B)) * sigma_px ~ (5/350) * 0.25 ~ 0.4%,
+# but the SCALE gauge locks at bootstrap commitment, so the tracked
+# x-positions inherit ~1-2% of the 1-unit steps (measured 0.006-0.019 at
+# frames 3-5). The reference evades the floor on tsukuba because its raw
+# INTEGER ORB corners are exact on this integer-disparity stereo set,
+# i.e. its observation noise there is ~0 — see PERF.md.
+ATE_BOUND = 0.03
 MIN_TRACKED = 4
 
 

@@ -67,7 +67,12 @@ class VoJitParams(NamedTuple):
     max_pair_rotation: float = 0.1
     max_pair_z_translation: float = 0.1
     min_track_inliers: int = 7
-    pnp_reproj_px: float = 2.0
+    # PnP-RANSAC + BA inlier gate. 0.75 px measured best on the tsukuba
+    # envelope (r4 sweep: 2.0 px -> ate 0.038, 1.0 -> 0.020, 0.75 ->
+    # 0.0185, 0.5 -> 0.025): the tight gate keeps marginal associations
+    # out of the two-frame BA, whose template-anchored observations are
+    # weighted hard enough that one bad association shifts the scale
+    pnp_reproj_px: float = 0.75
     max_track_mean_error: float = 9.0
     map_point_stddev: float = 0.05
     ba_iterations: int = 25
@@ -86,6 +91,9 @@ class VoJitParams(NamedTuple):
     # leaking into the two-view geometry (bas-relief rotation/translation
     # ambiguity scales all map depths otherwise)
     template_sigma_px: float = 0.02
+    # Huber threshold (whitened sigmas) for the two-frame BAs; None = pure
+    # Gaussian (reference parity — gtsam without robust kernels)
+    huber_delta: float | None = None
 
 
 class VoJitState(NamedTuple):
@@ -389,7 +397,8 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
                 obs_stddev=jnp.stack([sigma1, obs_sigma]), gauge="scale_only",
                 ba_params=ba_mod.BAParams(max_iterations=p.ba_iterations,
                                           compute_covariance=False,
-                                          compute_point_info=True),
+                                          compute_point_info=True,
+                                          huber_delta=p.huber_delta),
             )
             n_obs = jnp.maximum(2 * jnp.sum(point_mask), 1)
             mean_err = 2.0 * ref.error / n_obs.astype(dtype)
@@ -621,7 +630,8 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
         result = ba_mod.ba_solve(
             prob, ba_mod.BAParams(max_iterations=p.ba_iterations,
                                   compute_covariance=False,
-                                  compute_point_info=True)
+                                  compute_point_info=True,
+                                  huber_delta=p.huber_delta)
         )
         n_obs = jnp.maximum(jnp.sum(obs_mask_ba), 1)
         mean_err = 2.0 * result.error / n_obs.astype(dtype)

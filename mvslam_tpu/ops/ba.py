@@ -112,6 +112,12 @@ class BAParams(NamedTuple):
     # frames can re-resolve along-ray (depth) error instead of locking it
     # in with an isotropic prior
     compute_point_info: bool = False
+    # Huber M-estimator threshold on the WHITENED residual norm (sigmas).
+    # None = pure Gaussian (gtsam-default parity; the reference builds its
+    # projection factors without a robust kernel, vision/ba.cpp:96-117).
+    # Set (e.g. 3.0) to cap gross-outlier influence via IRLS reweighting
+    # inside each LM iteration, with the matching Huber rho in the cost.
+    huber_delta: float | None = None
 
 
 class BAResult(NamedTuple):
@@ -125,11 +131,13 @@ class BAResult(NamedTuple):
     point_information: Array | None = None  # (P, 3, 3) Hpp at the solution
 
 
-def _projection_residuals(poses: SE3, points: Array, prob: BAProblem):
+def _projection_residuals(poses: SE3, points: Array, prob: BAProblem,
+                          huber_delta: float | None = None):
     """Weighted residuals + Jacobian blocks for all (F, P) observations.
 
     Returns r (F, P, 2), Jc (F, P, 2, 6), Jp (F, P, 2, 3) — all pre-masked
-    and pre-weighted.
+    and pre-weighted. With ``huber_delta``, residual rows are additionally
+    IRLS-scaled by ``sqrt(w_huber)`` (Triggs-style robust reweighting).
     """
     R = poses.R                                   # (F, 3, 3)
     t = poses.t                                   # (F, 3)
@@ -165,6 +173,13 @@ def _projection_residuals(poses: SE3, points: Array, prob: BAProblem):
     Jp = jnp.einsum("fpij,fkj->fpik", dproj, R)   # (F, P, 2, 3)
     Jc = Jc * w[..., None, None]
     Jp = Jp * w[..., None, None]
+    if huber_delta is not None:
+        tiny = jnp.asarray(jnp.finfo(points.dtype).tiny ** 0.5, points.dtype)
+        nrm = jnp.linalg.norm(r, axis=-1)                     # (F, P)
+        wr = jnp.sqrt(jnp.minimum(1.0, huber_delta / jnp.maximum(nrm, tiny)))
+        r = r * wr[..., None]
+        Jc = Jc * wr[..., None, None]
+        Jp = Jp * wr[..., None, None]
     return r, Jc, Jp
 
 
@@ -185,20 +200,33 @@ def _psum(x, axis_name):
 
 
 def _cost(poses: SE3, points: Array, prob: BAProblem,
-          axis_name: str | None = None) -> Array:
+          axis_name: str | None = None,
+          huber_delta: float | None = None) -> Array:
     """Total cost. Under ``shard_map`` with landmark-sharded problems, the
     observation and point-prior terms are local sums psum'd across the mesh;
-    the pose-prior term is replicated and added once."""
+    the pose-prior term is replicated and added once. With ``huber_delta``
+    the observation term is the Huber rho of the whitened residual norm
+    (matching the IRLS reweighting in the normal equations)."""
     r, _, _ = _projection_residuals(poses, points, prob)
     rp, rx = _prior_residuals(poses, points, prob)
-    c_obs = 0.5 * jnp.sum(r * r)
+    if huber_delta is None:
+        c_obs = 0.5 * jnp.sum(r * r)
+    else:
+        nrm = jnp.linalg.norm(r, axis=-1)
+        rho = jnp.where(
+            nrm <= huber_delta,
+            0.5 * nrm * nrm,
+            huber_delta * (nrm - 0.5 * huber_delta),
+        )
+        c_obs = jnp.sum(rho)
     c_point = 0.5 * jnp.sum(rx * jnp.einsum("pij,pj->pi", prob.point_prior_info, rx))
     c_pose = 0.5 * jnp.sum(rp * jnp.einsum("fij,fj->fi", prob.pose_prior_info, rp))
     return _psum(c_obs + c_point, axis_name) + c_pose
 
 
 def _normal_equations(poses: SE3, points: Array, prob: BAProblem,
-                      axis_name: str | None = None):
+                      axis_name: str | None = None,
+                      huber_delta: float | None = None):
     """Assemble the block normal equations.
 
     Returns (Hcc (F,6,6), Hpp (P,3,3), Hcp (F,P,6,3), bc (F,6), bp (P,3)).
@@ -206,7 +234,7 @@ def _normal_equations(poses: SE3, points: Array, prob: BAProblem,
     over landmark shards with psum; Hpp/Hcp/bp stay local to the shard.
     Pose priors (replicated) are added after the reduction.
     """
-    r, Jc, Jp = _projection_residuals(poses, points, prob)
+    r, Jc, Jp = _projection_residuals(poses, points, prob, huber_delta)
     Hcc = _psum(jnp.einsum("fpki,fpkj->fij", Jc, Jc), axis_name)
     Hpp = jnp.einsum("fpki,fpkj->pij", Jp, Jp)
     Hcp = jnp.einsum("fpki,fpkj->fpij", Jc, Jp)
@@ -292,13 +320,14 @@ def ba_solve(
         poses_R, poses_t, points, lam, cost, it, done = state
         poses = SE3(poses_R, poses_t)
         Hcc, Hpp, Hcp, bc, bp = _normal_equations(
-            poses, points, prob, axis_name
+            poses, points, prob, axis_name, params.huber_delta
         )
         delta_c, delta_p, _, _, _ = _schur_solve(
             Hcc, Hpp, Hcp, bc, bp, lam, dtype, axis_name
         )
         new_poses, new_points = _retract(poses, points, delta_c, delta_p)
-        new_cost = _cost(new_poses, new_points, prob, axis_name)
+        new_cost = _cost(new_poses, new_points, prob, axis_name,
+                         params.huber_delta)
         accept = jnp.logical_and(jnp.isfinite(new_cost), new_cost < cost)
         # damping schedule
         lam = jnp.clip(
@@ -334,7 +363,8 @@ def ba_solve(
         *_, it, done = state
         return jnp.logical_and(it < params.max_iterations, jnp.logical_not(done))
 
-    cost0 = _cost(prob.poses0, prob.points0, prob, axis_name)
+    cost0 = _cost(prob.poses0, prob.points0, prob, axis_name,
+                  params.huber_delta)
     state0 = (
         prob.poses0.R,
         prob.poses0.t,
@@ -358,7 +388,7 @@ def ba_solve(
     if params.compute_covariance:
         # marginal covariances at the solution (lambda = 0)
         Hcc, Hpp, Hcp, bc, bp = _normal_equations(
-            poses, points, prob, axis_name
+            poses, points, prob, axis_name, params.huber_delta
         )
         if params.compute_point_info:
             point_info = Hpp

@@ -111,6 +111,16 @@ class OrbParams(NamedTuple):
     # frames/s end-to-end), so unrolled is the default; kept for meshes
     # where dispatch dominates.
     batched: bool = False
+    # Fused Pallas kernel for the dense corner front (FAST+NMS+Harris+
+    # border -> rank map, one VMEM pass per level; ops/features_pallas.py).
+    # Measured 0.434 vs 0.506 ms/frame against the XLA composition on the
+    # tunneled v5e with 100% corner-set parity (tools/pallas_fast.py) —
+    # a real but small win, so it stays opt-in: the compiled kernel is
+    # TPU-only, and the default path must run everywhere. Ignored when
+    # ``subpixel`` or ``batched`` is set (those need the raw Harris
+    # surface / canvas layout).
+    pallas_dense: bool = False
+    pallas_interpret: bool = False   # Pallas interpreter (CPU tests only)
 
 
 def _pad_hw(img: Array, pad: int, **kw) -> Array:
@@ -436,11 +446,19 @@ def _orb_detect_unrolled(img: Array, params: OrbParams) -> FeatureSet:
         h, w = level_img.shape
         k_l = int(budgets[l])
         scale_l = params.scale_factor**l
-        score = fast_score(level_img, params.fast_threshold)
-        score = nms3x3(score)
-        score = _suppress_border(score, params.border)
-        harris = harris_response(level_img, params.harris_k)
-        rank = jnp.where(score > 0, harris, -jnp.inf)
+        if params.pallas_dense and not params.subpixel:
+            from mvslam_tpu.ops.features_pallas import fast_nms_harris_rank
+
+            rank = fast_nms_harris_rank(
+                level_img, params.fast_threshold, params.harris_k,
+                params.border, interpret=params.pallas_interpret,
+            )
+        else:
+            score = fast_score(level_img, params.fast_threshold)
+            score = nms3x3(score)
+            score = _suppress_border(score, params.border)
+            harris = harris_response(level_img, params.harris_k)
+            rank = jnp.where(score > 0, harris, -jnp.inf)
         vals, idx = jax.lax.top_k(rank.reshape(-1), k_l)
         ys = (idx // w).astype(dtype)
         xs = (idx % w).astype(dtype)

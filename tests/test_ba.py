@@ -94,6 +94,28 @@ def test_ba_cost_decreases_and_masks_ignored(dtype, rng):
     assert float(jnp.max(jnp.abs(res.pose2in1.log() - pose2in1.log()))) < tol_for(dtype)
 
 
+def test_ba_huber_caps_gross_outlier(dtype, rng):
+    """An unmasked gross outlier biases the plain Gaussian BA; with
+    ``huber_delta`` the IRLS reweighting caps its influence and the
+    refined pose stays near truth (no reference counterpart — gtsam is
+    run kernel-free there, vision/ba.cpp:96-117; this guards OUR robust
+    option)."""
+    points, pose2in1, r1, r2, mask = two_view_setup(CUBE, dtype)
+    # corrupt ONE visible observation by 40 sigma in the second view
+    r2_bad = r2.at[2, 0].add(40.0 * NOISE_STD)
+    kw = dict(obs_stddev=NOISE_STD)
+    res_plain = sfm.sfm_refine(r1, r2_bad, mask, pose2in1, points, **kw)
+    res_huber = sfm.sfm_refine(
+        r1, r2_bad, mask, pose2in1, points,
+        ba_params=ba.BAParams(huber_delta=2.0), **kw)
+    err_plain = float(jnp.max(jnp.abs(res_plain.pose2in1.log()
+                                      - pose2in1.log())))
+    err_huber = float(jnp.max(jnp.abs(res_huber.pose2in1.log()
+                                      - pose2in1.log())))
+    assert err_huber < err_plain, (err_huber, err_plain)
+    assert err_huber < NOISY_TOL, err_huber
+
+
 @pytest.mark.parametrize("rig", [CUBE, L_SHAPE])
 def test_pnp_solve_exact(rig, dtype):
     # reference test-pnp.cpp:14-60: noiseless recovery to 1e-3

@@ -163,3 +163,29 @@ class TestTsukuba:
         # rotation close to identity
         w = np.asarray(res.pose2in1.log())[3:]
         assert np.abs(w).max() < 0.05, w
+
+
+@pytest.mark.slow
+def test_orb_pallas_dense_parity():
+    """The fused Pallas corner front must reproduce the XLA composition's
+    features exactly (interpret mode here — the compiled kernel is
+    TPU-only; the on-chip A/B lives in tools/pallas_fast.py).
+
+    Textured random image, not the checkerboard: identical corners tie in
+    Harris rank, and the fused kernel's ~1e-7 summation-order drift can
+    reorder exact ties in top_k (not a semantics difference)."""
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(np.asarray(
+        features._box_sum(jnp.asarray(
+            rng.uniform(size=(96, 128)).astype(np.float32)), 2)) / 25.0)
+    base = features.OrbParams(max_features=64, num_levels=3)
+    f_x = features.orb_detect(img, base)
+    f_p = features.orb_detect(
+        img, base._replace(pallas_dense=True, pallas_interpret=True)
+    )
+    np.testing.assert_array_equal(np.asarray(f_x.mask), np.asarray(f_p.mask))
+    sel = np.asarray(f_x.mask)
+    np.testing.assert_array_equal(np.asarray(f_x.xy)[sel],
+                                  np.asarray(f_p.xy)[sel])
+    np.testing.assert_array_equal(np.asarray(f_x.desc)[sel],
+                                  np.asarray(f_p.desc)[sel])

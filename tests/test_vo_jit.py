@@ -49,7 +49,7 @@ def test_trajectory_envelope(run):
     state, outs = run
     for i, out in enumerate(outs[1:], start=2):
         t = np.asarray(out.pose_t)
-        assert np.abs(t - [i - 1.0, 0, 0]).max() < 0.08, (i, t)
+        assert np.abs(t - [i - 1.0, 0, 0]).max() < 0.03, (i, t)
 
 
 def test_state_bookkeeping(run):

@@ -20,14 +20,15 @@ import resource
 import sys
 import time
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
-)
+# NOTE: env vars are too late here — site hooks import jax at interpreter
+# startup, so the platform/device count must go through the config API.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
