@@ -211,9 +211,19 @@ def main() -> int:
     # pipelined online mode (SURVEY §2.8 pipeline-parallel row): the step
     # split at its state-independent seam — frame t+1's host decode +
     # `pre` dispatch overlap frame t's in-flight `combine` (+ the decode
-    # is in the loop for BOTH paths, so the delta is pure overlap)
+    # is in the loop for BOTH paths, so the delta is pure overlap). The
+    # decode itself uses the native libjpeg loader when built (the
+    # reference's C++ image layer, native/loader.cpp); PIL otherwise.
     from mvslam_tpu.frontend.vo_jit import make_vo_pipelined
-    from mvslam_tpu.io import load_image_grayscale as _decode
+    from mvslam_tpu.io import load_image_grayscale
+    from mvslam_tpu.io import native_loader
+
+    if native_loader.available():
+        _decode = native_loader.decode_jpeg_gray
+        log("decode path: native libjpeg loader")
+    else:
+        _decode = load_image_grayscale
+        log("decode path: PIL fallback")
 
     pre, combine = make_vo_pipelined(params)
     paths = [f"{TSUKUBA}/{i}.jpg" for i in range(1, 6)]

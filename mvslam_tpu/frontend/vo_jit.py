@@ -75,7 +75,12 @@ class VoJitParams(NamedTuple):
     pnp_reproj_px: float = 0.75
     max_track_mean_error: float = 9.0
     map_point_stddev: float = 0.05
-    ba_iterations: int = 25
+    # 10 LM iterations: the two-frame solve is warm-started from PnP and
+    # the previous map, and converges in far fewer than the old cap of 25
+    # (r4 sweep: 25 -> ate 0.0185 at 131 fps, 10 -> 0.0181 at 160 fps,
+    # 8 -> 0.0170 at 164 fps; 10 keeps convergence margin on harder
+    # scenes — the 110-frame synthetic sequence tracks 98% at 10)
+    ba_iterations: int = 10
     # P3P minimal sets are 3 points: at a (pessimistic) 50% inlier rate a
     # hypothesis is all-inlier with p=1/8, so 128 hypotheses miss with
     # (1-1/8)^128 ~ 4e-8 — half the RANSAC cost of 256 for free (the
@@ -94,6 +99,16 @@ class VoJitParams(NamedTuple):
     # Huber threshold (whitened sigmas) for the two-frame BAs; None = pure
     # Gaussian (reference parity — gtsam without robust kernels)
     huber_delta: float | None = None
+    # consistency gate on FRESH triangulations (see do_track): reprojection
+    # onto both parent rays must be within this many pixels. VERY loose on
+    # purpose — it exists to reject grossly inconsistent ray pairs
+    # (occlusion boundaries, depth switches: residuals of tens of px whose
+    # anchored-BA terms blow the reset gate; the 100-frame synthetic
+    # sequence goes from ~60% tracked to 98% with this cut), NOT to
+    # re-filter honest noise: tightening to <= 8 px measurably worsened
+    # the tsukuba z-accuracy (0.019 -> 0.045) by dropping legitimate
+    # high-residual parallax diversity
+    tri_consistency_px: float = 16.0
 
 
 class VoJitState(NamedTuple):
@@ -560,11 +575,33 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
         pts_last, tri_mask = sfm.sfm_triangulate(
             state.lf_rays, r_new, lm_ok, rel
         )
+        # consistency gate on fresh triangulations: the point must
+        # reproject onto BOTH rays within the tracking threshold. Rays
+        # from inconsistent 3D (occlusion boundaries, depth switches,
+        # mismatches) triangulate to a compromise point with large
+        # residuals; letting it into the BA under the template-anchor
+        # weight blows the mean error and trips the reset gate. Reference
+        # analog: new points are registered from PnP-inlier matches only
+        # (visual-odometer.cpp:417-445).
+        e_last = pnp.reprojection_error_sq(
+            SE3(jnp.eye(3, dtype=dtype), jnp.zeros(3, dtype)),
+            pts_last, state.lf_rays,
+        )
+        e_new = pnp.reprojection_error_sq(rel, pts_last, r_new)
+        tri_thr = (p.tri_consistency_px / focal) ** 2
+        tri_mask = tri_mask & (e_last < tri_thr) & (e_new < tri_thr)
         pts_world = last_pose.apply(pts_last)
 
-        # 4) two-frame BA with fixed capacities
+        # 4) two-frame BA with fixed capacities; fresh triangulations are
+        # RANKED by their two-ray consistency residual (best ba_new enter
+        # the BA) rather than taken in feature order — the first-N take
+        # made the point mix, and with it the scale, sensitive to how the
+        # gate interacted with feature ordering
         old_idx, old_ok = _masked_take(m.mask & best_inl, p.ba_old)
-        new_idx, new_ok = _masked_take(tri_mask, p.ba_new)
+        tri_score = jnp.where(tri_mask, e_last + e_new,
+                              jnp.asarray(jnp.inf, dtype))
+        new_idx = jnp.argsort(tri_score)[: p.ba_new].astype(jnp.int32)
+        new_ok = tri_mask[new_idx]
         obs_slots = m.idx[old_idx]                       # map slots
         # last-frame observation of those slots (reverse assoc)
         lf_map_to_feat = jnp.full(M, -1, jnp.int32).at[

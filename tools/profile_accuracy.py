@@ -72,16 +72,13 @@ def main():
 
     base = VoJitParams()
     variants = [
-        ("base", base),
-        ("pnp.75", base._replace(pnp_reproj_px=0.75)),
-        ("pnp.75+huber3", base._replace(pnp_reproj_px=0.75, huber_delta=3.0)),
-        ("pnp.75+huber2", base._replace(pnp_reproj_px=0.75, huber_delta=2.0)),
-        ("pnp.75+huber1.5", base._replace(pnp_reproj_px=0.75,
-                                          huber_delta=1.5)),
-        ("huber2", base._replace(huber_delta=2.0)),
-        ("pnp.75+h2+tmpl.01", base._replace(pnp_reproj_px=0.75,
-                                            huber_delta=2.0,
-                                            template_sigma_px=0.01)),
+        ("base(16px tri)", base),
+        ("ba15", base._replace(ba_iterations=15)),
+        ("ba10", base._replace(ba_iterations=10)),
+        ("ba8", base._replace(ba_iterations=8)),
+        ("ba10+hyp128", base._replace(ba_iterations=10,
+                                      ransac_hypotheses=128)),
+        ("ba10+win2", base._replace(ba_iterations=10, init_window=2)),
     ]
     which = sys.argv[1:] or None
     for name, params in variants:
