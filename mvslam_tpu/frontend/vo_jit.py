@@ -63,6 +63,12 @@ class VoJitParams(NamedTuple):
     max_error_sq: float = sfm.MAX_ERROR_SQ       # pixel-ish; / focal^2
     klt_sigma_px: float = 0.25
     min_pair_inliers: int = 20
+    # refined-pair mean-error gate. Seeds VoJitState.gate_pair_err — a
+    # TRACED scalar in the state, not a jit-cache key — so variants that
+    # differ only in this gate share one compiled executable (tests
+    # exercise three gate values against a single compile; a static param
+    # here forced three full fused-step compilations in one session, which
+    # aborted the XLA CPU compiler under the full suite's load)
     max_pair_mean_error: float = 9.0
     max_pair_rotation: float = 0.1
     max_pair_z_translation: float = 0.1
@@ -149,6 +155,8 @@ class VoJitState(NamedTuple):
     # stats
     frame_total: Array          # () int32
     frame_tracked: Array        # () int32
+    # traced gates (runtime-tunable without recompiling; see VoJitParams)
+    gate_pair_err: Array        # () f32 — refined-pair mean-error gate
 
 
 class VoStepOut(NamedTuple):
@@ -203,6 +211,7 @@ def vo_init_state(params: VoJitParams, dtype=jnp.float32,
         rb_pos=jnp.asarray(0, jnp.int32),
         frame_total=jnp.asarray(0, jnp.int32),
         frame_tracked=jnp.asarray(0, jnp.int32),
+        gate_pair_err=jnp.asarray(params.max_pair_mean_error, dtype),
     )
 
 
@@ -420,9 +429,10 @@ def _make_vo_step_fns(params: VoJitParams = VoJitParams()):
             T = ref.pose2in1
             # error gate needs the refined pair (reference check_image_pair,
             # visual-odometer.cpp:348-382; it does NOT gate on LM
-            # convergence — gtsam LM runs to its cap too)
+            # convergence — gtsam LM runs to its cap too). The gate value is
+            # the traced state scalar so tuning it never recompiles.
             passed = (
-                (mean_err <= p.max_pair_mean_error)
+                (mean_err <= state.gate_pair_err.astype(dtype))
                 & jnp.all(jnp.isfinite(T.t))
             )
             return passed, dict(

@@ -140,7 +140,7 @@ def load_checkpoint(path: str, vo: VisualOdometer) -> VisualOdometer:
 # fixed-shape arrays, so checkpointing is a field->array dump.
 # ---------------------------------------------------------------------------
 
-JIT_SCHEMA_VERSION = 1
+JIT_SCHEMA_VERSION = 2   # v2: + gate_pair_err traced-gate scalar in the state
 
 
 def save_vo_jit_state(state, path: str) -> None:

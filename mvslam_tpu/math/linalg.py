@@ -129,6 +129,7 @@ def smallest_eigvecs2_psd(M: Array, iterations: int = 8
     x1 = X[..., 0]
     x2 = X[..., 1]
     v1 = x1 / jnp.maximum(jnp.linalg.norm(x1, axis=-1, keepdims=True), tiny)
+    n2_pre = jnp.linalg.norm(x2, axis=-1, keepdims=True)
     x2 = x2 - jnp.sum(v1 * x2, axis=-1, keepdims=True) * v1
     n2 = jnp.linalg.norm(x2, axis=-1, keepdims=True)
     # collapsed second start: fall back to a fixed direction orthogonalized
@@ -141,7 +142,12 @@ def smallest_eigvecs2_psd(M: Array, iterations: int = 8
         jnp.linalg.norm(fb, axis=-1, keepdims=True) > 0.1, fb, fb2
     )
     eps2 = jnp.asarray(jnp.finfo(dtype).eps, dtype) * 16
-    x2 = jnp.where(n2 > eps2, x2, fb)
+    # scale-free collapse test: ||x2_perp|| / ||x2|| is the sine of the
+    # angle between the amplified second start and v1, independent of B's
+    # renormalization scale (an absolute test on ||x2_perp|| misclassified
+    # valid second directions when the start vector came out small)
+    sin2 = n2 / jnp.maximum(n2_pre, tiny)
+    x2 = jnp.where(sin2 > eps2, x2, fb)
     v2 = x2 / jnp.maximum(
         jnp.linalg.norm(x2, axis=-1, keepdims=True), tiny
     )
@@ -217,6 +223,11 @@ def svd3x3(M: Array) -> tuple[Array, Array, Array]:
     its SIGN may differ from the exact SVD's — all hot-path callers
     (rank-2/essential projection, E decomposition) zero or sign-fix the
     s3 dyad and are unaffected.
+
+    Accuracy: forming ``M^T M`` squares the condition number, so f32
+    reconstruction error is ~2e-5 (vs ~1e-6 for ``jnp.linalg.svd``).
+    Fine for RANSAC candidate projections that are re-scored/refined
+    downstream; accuracy-sensitive callers should keep ``jnp.linalg.svd``.
     """
     dtype = M.dtype
     tiny = jnp.asarray(jnp.finfo(dtype).tiny ** 0.5, dtype)

@@ -113,18 +113,30 @@ def _cubic_roots_real(c3: Array, c2: Array, c1: Array, c0: Array) -> Array:
     return s - a[..., None] / 3.0
 
 
-def _solve_epipolar_span(p1: Array, p2: Array, weights: Array) -> tuple[Array, Array]:
+def _solve_epipolar_span(p1: Array, p2: Array, weights: Array,
+                         use_eigh: bool = False) -> tuple[Array, Array]:
     """Two smallest-eigenvalue DLT solutions, (..., 3, 3) each.
 
     A minimal (8-point) or degenerate point set leaves the epipolar DLT with
     a >=2-dimensional null space (the reference's cube rig is such a case);
     both basis vectors are needed to pin down the true matrix.
+
+    ``use_eigh`` selects exact ``jnp.linalg.eigh`` extraction: on
+    well-separated spectra (overdetermined all-inlier refits) the amplified
+    extractor's second vector degrades toward an arbitrary direction,
+    costing ~30% max-element accuracy on noisy fits (r4 advisor A/B:
+    0.058 vs 0.045). Use it for one-shot/non-batched solves; the
+    per-hypothesis RANSAC batch keeps the amplified chain (batched eigh
+    cost 3.4 ms per 256-hypothesis batch on the tunneled v5e).
     """
     A = _dlt_rows(p1, p2) * weights[..., None]
     AtA = jnp.swapaxes(A, -1, -2) @ A
-    # amplified 2-vector null-span extraction (pure batched matmuls);
-    # batched eigh here cost 3.4 ms per 256-hypothesis RANSAC batch
-    v1, v2 = linalg.smallest_eigvecs2_psd(AtA)
+    if use_eigh:
+        _, V = jnp.linalg.eigh(AtA)           # ascending eigenvalues
+        v1 = V[..., :, 0]
+        v2 = V[..., :, 1]
+    else:
+        v1, v2 = linalg.smallest_eigvecs2_psd(AtA)
     e1 = v1.reshape(AtA.shape[:-2] + (3, 3))
     e2 = v2.reshape(AtA.shape[:-2] + (3, 3))
     return e1, e2
@@ -195,7 +207,8 @@ def _pick_best(cands: Array, err: Array, weights: Array) -> Array:
     )[..., 0, :, :]
 
 
-def find_fundamental_matrix(p1: Array, p2: Array, weights: Array) -> Array:
+def find_fundamental_matrix(p1: Array, p2: Array, weights: Array,
+                            use_eigh: bool = False) -> Array:
     """Hartley-normalized fundamental matrix, batched, degeneracy-robust.
 
     Rebuild of ``find_fundamental_matrix_8point``
@@ -208,13 +221,13 @@ def find_fundamental_matrix(p1: Array, p2: Array, weights: Array) -> Array:
     and ``T2^T F' T1`` denormalization follow the reference.
 
     p1, p2: (..., N, 2) pixel coords; weights: (..., N). Returns (..., 3, 3)
-    with ``|F|_F = 1``.
+    with ``|F|_F = 1``. ``use_eigh``: see :func:`_solve_epipolar_span`.
     """
     T1 = normalization_transform(p1, weights)
     T2 = normalization_transform(p2, weights)
     q1 = _apply_transform2d(T1, p1)
     q2 = _apply_transform2d(T2, p2)
-    F1, F2 = _solve_epipolar_span(q1, q2, weights)
+    F1, F2 = _solve_epipolar_span(q1, q2, weights, use_eigh=use_eigh)
     cands = _span_candidates(F1, F2)                      # (..., 5, 3, 3)
     cands = _project_rank2(cands)
     cands = jnp.swapaxes(T2, -1, -2)[..., None, :, :] @ cands @ T1[..., None, :, :]
@@ -227,7 +240,8 @@ def find_fundamental_matrix(p1: Array, p2: Array, weights: Array) -> Array:
     return _pick_best(cands, err, weights)
 
 
-def find_essential_matrix(r1: Array, r2: Array, weights: Array) -> Array:
+def find_essential_matrix(r1: Array, r2: Array, weights: Array,
+                          use_eigh: bool = False) -> Array:
     """Essential matrix from *ideal-camera* rays, batched, degeneracy-robust.
 
     Same null-span + det-cubic search as :func:`find_fundamental_matrix`
@@ -242,7 +256,7 @@ def find_essential_matrix(r1: Array, r2: Array, weights: Array) -> Array:
     """
     p1 = r1[..., :2]
     p2 = r2[..., :2]
-    E1, E2 = _solve_epipolar_span(p1, p2, weights)
+    E1, E2 = _solve_epipolar_span(p1, p2, weights, use_eigh=use_eigh)
     cands = _span_candidates(E1, E2)                      # (..., 5, 3, 3)
     cands = _project_essential(cands)
     ones = jnp.ones_like(p1[..., :1])

@@ -146,6 +146,10 @@ def fast_nms_harris_rank(img: Array, threshold: float, k: float,
 
     ``interpret=True`` runs the Pallas interpreter (CPU tests; the
     compiled kernel is TPU-only)."""
+    if img.dtype != jnp.float32:
+        # the kernel fills with jnp.float32(-inf) and out_shape uses
+        # img.dtype; anything but f32 would silently cast inside the kernel
+        raise TypeError(f"fast_nms_harris_rank is f32-only, got {img.dtype}")
     h, w = img.shape
     stripe = min(_STRIPE, max(8, h))
     n_stripes = -(-h // stripe)

@@ -106,7 +106,13 @@ def essential_ransac(
             w_geo = jnp.sqrt(
                 epipolar.sampson_weights(E_fit, r1, r2)
             ) * inl_fit.astype(r1.dtype)
-            E_fit = epipolar.find_essential_matrix(r1, r2, w_geo)
+            # exact eigh null-span on the one overdetermined refit (the
+            # amplified extractor degrades its second vector on the
+            # well-separated spectra of all-inlier fits; r4 advisor A/B
+            # 0.058 vs 0.045 max-element E error) — the per-hypothesis
+            # batch above keeps the cheap amplified chain
+            E_fit = epipolar.find_essential_matrix(r1, r2, w_geo,
+                                                   use_eigh=True)
             err_fit = error_fn(E_fit, r1, r2)
             inl_fit = jnp.logical_and(err_fit < threshold_sq, mask)
         # keep the refit only if it does not lose inliers
@@ -166,7 +172,7 @@ def fundamental_ransac(
 
     if refit:
         wf = best_inl.astype(p1.dtype)
-        F_fit = epipolar.find_fundamental_matrix(p1, p2, wf)
+        F_fit = epipolar.find_fundamental_matrix(p1, p2, wf, use_eigh=True)
         err_fit = error_fn(F_fit, h1, h2)
         inl_fit = jnp.logical_and(err_fit < max_error, mask)
         better = jnp.sum(inl_fit) >= jnp.sum(best_inl)

@@ -1,4 +1,12 @@
-"""Fused on-device VO step tests (tsukuba parity with the host VO)."""
+"""Fused on-device VO step tests (tsukuba parity with the host VO).
+
+The whole module shares ONE compiled fused step (module-scoped ``step``
+fixture): runtime-tunable knobs like the refined-pair error gate live in
+the traced state (``VoJitState.gate_pair_err``), so gate variants below
+reuse the same executable instead of forcing three full fused-step
+compilations — which aborted the XLA CPU compiler when the suite ran as a
+single session on top of ~180 already-compiled tests.
+"""
 
 import os
 
@@ -20,14 +28,22 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
-def run():
+def _camera():
     cam = PinholeCamera.load_from_file(f"{TSUKUBA}/camera.config")
     K_inv = jnp.asarray(np.linalg.inv(np.asarray(cam.K)), jnp.float32)
-    focal = jnp.asarray(350.0, jnp.float32)
-    params = VoJitParams()
-    step = make_vo_step(params)
-    state = vo_init_state(params)
+    return K_inv, jnp.asarray(350.0, jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def step():
+    """The ONE compiled fused step shared by every test in this module."""
+    return make_vo_step(VoJitParams())
+
+
+@pytest.fixture(scope="module")
+def run(step):
+    K_inv, focal = _camera()
+    state = vo_init_state(VoJitParams())
     outs = []
     for i in range(1, 6):
         img = load_image_grayscale(f"{TSUKUBA}/{i}.jpg")
@@ -60,14 +76,11 @@ def test_state_bookkeeping(run):
     assert bool(jnp.all(jnp.isfinite(state.map_pos[state.map_valid])))
 
 
-def test_reset_on_garbage_frame(run):
+def test_reset_on_garbage_frame(run, step):
     state, outs = run
     # a blank frame cannot track: the step must fail gracefully and fall
     # back to INITIALIZING (the reference's self-healing reset)
-    cam = PinholeCamera.load_from_file(f"{TSUKUBA}/camera.config")
-    K_inv = jnp.asarray(np.linalg.inv(np.asarray(cam.K)), jnp.float32)
-    focal = jnp.asarray(350.0, jnp.float32)
-    step = make_vo_step(VoJitParams())
+    K_inv, focal = _camera()
     blank = jnp.zeros((288, 384), jnp.float32)
     new_state, out = step(state, blank, K_inv, focal)
     assert not bool(out.success)
@@ -79,9 +92,7 @@ def test_pipelined_split_matches_fused_step(run):
     # the fused step: same pose trajectory on the same frames
     from mvslam_tpu.frontend.vo_jit import make_vo_pipelined
 
-    cam = PinholeCamera.load_from_file(f"{TSUKUBA}/camera.config")
-    K_inv = jnp.asarray(np.linalg.inv(np.asarray(cam.K)), jnp.float32)
-    focal = jnp.asarray(350.0, jnp.float32)
+    K_inv, focal = _camera()
     params = VoJitParams()
     pre, combine = make_vo_pipelined(params)
     state = vo_init_state(params)
@@ -99,18 +110,14 @@ def test_pipelined_split_matches_fused_step(run):
         )
 
 
-def test_bootstrap_window_skips_garbage_frame():
+def test_bootstrap_window_skips_garbage_frame(step):
     # a corrupted frame lands mid-bootstrap: [f1, blank, f2]. A 1-frame
     # window would try f2 only against the blank (no matches) and keep
     # spinning in INITIALIZING; the ring window must reach back to f1 and
     # bootstrap at f2 with the unit-x baseline (reference 10-frame queue,
     # visual-odometer.cpp:273-346).
-    cam = PinholeCamera.load_from_file(f"{TSUKUBA}/camera.config")
-    K_inv = jnp.asarray(np.linalg.inv(np.asarray(cam.K)), jnp.float32)
-    focal = jnp.asarray(350.0, jnp.float32)
-    params = VoJitParams()
-    step = make_vo_step(params)
-    state = vo_init_state(params)
+    K_inv, focal = _camera()
+    state = vo_init_state(VoJitParams())
     blank = jnp.zeros((288, 384), jnp.float32)
     state, o1 = step(state, load_image_grayscale(f"{TSUKUBA}/1.jpg"),
                      K_inv, focal)
@@ -124,12 +131,15 @@ def test_bootstrap_window_skips_garbage_frame():
     assert np.abs(t - [1.0, 0.0, 0.0]).max() < 0.08, t
 
 
-def test_bootstrap_falls_back_when_oldest_slot_fails_error_gate():
+def test_bootstrap_falls_back_when_oldest_slot_fails_error_gate(step):
     """The refined-error gate must not sink the whole frame when a younger
     ring slot would pass: ``do_init`` walks ranked slots with a while_loop
     until one clears the gate (the reference pair scan falls back to a
     younger pair too, visual-odometer.cpp:273-346). ``VoStepOut.init_tried``
     counts the slots refined, making the walk directly observable.
+
+    The gate is the TRACED state scalar ``gate_pair_err``, so all three
+    gate settings below run through the module's single compiled step.
 
     Construction (deterministic; retune with tools of /tmp probes if the
     geometry numerics change): feed frame 1 under a never-accepting gate,
@@ -147,36 +157,34 @@ def test_bootstrap_falls_back_when_oldest_slot_fails_error_gate():
 
     The pre-fallback code rejected the whole frame in exactly this case.
     """
-    cam = PinholeCamera.load_from_file(f"{TSUKUBA}/camera.config")
-    K_inv = jnp.asarray(np.linalg.inv(np.asarray(cam.K)), jnp.float32)
-    focal = 350.0
-    focal_j = jnp.asarray(focal, jnp.float32)
+    K_inv, focal_j = _camera()
+    focal = float(focal_j)
     imgs = {i: load_image_grayscale(f"{TSUKUBA}/{i}.jpg") for i in (1, 2, 3)}
     GATE = 0.10
-    step_tiny = make_vo_step(VoJitParams(max_pair_mean_error=1e-9))
-    step_lo = make_vo_step(VoJitParams(max_pair_mean_error=GATE))
-    step_hi = make_vo_step(VoJitParams(max_pair_mean_error=2.0))
 
-    st = vo_init_state(VoJitParams(max_pair_mean_error=1e-9), seed=4)
-    st, _ = step_tiny(st, imgs[1], K_inv, focal_j)
+    def with_gate(st, g):
+        return st._replace(gate_pair_err=jnp.asarray(g, jnp.float32))
+
+    st = with_gate(vo_init_state(VoJitParams(), seed=4), 1e-9)
+    st, _ = step(st, imgs[1], K_inv, focal_j)
     rng = np.random.default_rng(7)
     pert = rng.normal(scale=0.13 / focal, size=(st.rb_rays.shape[1], 2))
     rb = np.array(st.rb_rays)
     rb[0, :, :2] += pert
     st = st._replace(rb_rays=jnp.asarray(rb, st.rb_rays.dtype))
-    st, o2 = step_tiny(st, imgs[2], K_inv, focal_j)
+    st, o2 = step(st, imgs[2], K_inv, focal_j)
     assert not bool(o2.success)
 
     # control: gate out of the way -> first walked slot (the corrupt
     # oldest) is accepted, and its refined error is above GATE
-    _, o3_hi = step_hi(st, imgs[3], K_inv, focal_j)
+    _, o3_hi = step(with_gate(st, 2.0), imgs[3], K_inv, focal_j)
     assert bool(o3_hi.success)
     assert int(o3_hi.init_tried) == 1
     assert float(o3_hi.mean_error) > GATE, float(o3_hi.mean_error)
 
     # under the tight gate the walk must continue to the clean younger
     # slot and accept it
-    st3, o3 = step_lo(st, imgs[3], K_inv, focal_j)
+    st3, o3 = step(with_gate(st, GATE), imgs[3], K_inv, focal_j)
     assert bool(o3.success), "younger slot must rescue the frame"
     assert int(o3.init_tried) == 2, int(o3.init_tried)
     assert int(o3.mode) == MODE_TRACKING
