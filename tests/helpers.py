@@ -81,3 +81,85 @@ def se3_from_parts(R, t, dtype=None) -> SE3:
     R = jnp.asarray(R, dtype=dtype)
     t = jnp.asarray(t, dtype=dtype)
     return SE3(R, t)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic two-plane scene renderer (generalized from the 110-frame
+# long-sequence test): camera translates along an arbitrary path looking +z
+# at a z=8 background plane with a z=4 foreground band. Corner-rich block
+# texture so FAST/ORB has clean structure.
+# ---------------------------------------------------------------------------
+
+
+def _texture(rng, h, w, blur=2):
+    t = rng.uniform(size=(h, w)).astype(np.float32)
+    for _ in range(blur):
+        t = 0.25 * (np.roll(t, 1, 0) + np.roll(t, -1, 0)
+                    + np.roll(t, 1, 1) + np.roll(t, -1, 1))
+    sq = rng.uniform(size=(h // 16 + 1, w // 16 + 1)) > 0.5
+    blocks = np.kron(sq, np.ones((16, 16))).astype(np.float32)[:h, :w]
+    return 0.6 * t + 0.4 * blocks
+
+
+def _sample_bilinear(tex, u, v):
+    h, w = tex.shape
+    u = np.clip(u, 0.0, w - 1.001)
+    v = np.clip(v, 0.0, h - 1.001)
+    u0 = np.floor(u).astype(np.int32)
+    v0 = np.floor(v).astype(np.int32)
+    du = u - u0
+    dv = v - v0
+    return ((1 - dv) * ((1 - du) * tex[v0, u0] + du * tex[v0, u0 + 1])
+            + dv * ((1 - du) * tex[v0 + 1, u0] + du * tex[v0 + 1, u0 + 1]))
+
+
+def render_planes_sequence(ts, h=240, w=320, focal=280.0, seed=42,
+                           bg_slope=0.0):
+    """Render frames for camera translations ``ts`` (N, 3) over the
+    two-plane scene (identity rotation, optical axis +z). Returns
+    (N, h, w) float32 frames. Revisiting a position reproduces the same
+    view — the fixture for loop-closure tests.
+
+    ``bg_slope`` tilts the background plane to ``z = 8 + slope*(x - mid)``:
+    two fronto-parallel planes give monocular VO only two discrete depths,
+    whose weak conditioning drifts scale enough to trip the self-heal reset
+    every ~15-25 frames; the slanted background's continuous depth spread
+    keeps long sequences in ONE tracked segment."""
+    ts = np.asarray(ts, np.float64)
+    rng = np.random.default_rng(seed)
+    ppu_bg, z_bg = 40.0, 8.0
+    ppu_fg, z_fg = 70.0, 4.0
+    x_lo = float(ts[:, 0].min()) - z_bg * w / focal * 1.5
+    x_hi = float(ts[:, 0].max()) + z_bg * w / focal * 1.5
+    tex_bg = _texture(rng, int(z_bg * h / focal * ppu_bg) + 160,
+                      int((x_hi - x_lo) * ppu_bg) + 160)
+    tex_fg = _texture(rng, int(z_fg * h / focal * ppu_fg) + 160,
+                      int((x_hi - x_lo) * ppu_fg) + 160)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    rx = (xs - cx) / focal
+    ry = (ys - cy) / focal
+    mid = 0.5 * (x_lo + x_hi)
+    frames = []
+    for t in ts:
+        # background: plane z = z_bg + slope*(x - mid); the ray from t is
+        # p = t + s*(rx, ry, 1), so s*(1 - slope*rx) = z_bg +
+        # slope*(t_x - mid) - t_z
+        s = (z_bg + bg_slope * (t[0] - mid) - t[2]) / (1.0 - bg_slope * rx)
+        wx = t[0] + s * rx
+        wy = t[1] + s * ry
+        img = _sample_bilinear(
+            tex_bg, (wx - x_lo) * ppu_bg + 80,
+            (wy + z_bg * h / focal / 2) * ppu_bg + 80,
+        )
+        sf = z_fg - t[2]
+        wxf = t[0] + sf * rx
+        wyf = t[1] + sf * ry
+        fg = _sample_bilinear(
+            tex_fg, (wxf - x_lo) * ppu_fg + 80,
+            (wyf + z_bg * h / focal / 2) * ppu_fg + 80,
+        )
+        band = ys > (0.62 * h)
+        frames.append(np.where(band, fg, img).astype(np.float32))
+    return np.stack(frames)

@@ -46,8 +46,8 @@ PATCH = 48
 STRIDE = 24
 SEARCH_X = (-8, 120)       # camera moves +x -> content shifts left (u -= f/Z)
 SEARCH_Y = (-6, 6)
-MIN_STD = 6.0              # texture gate (grey levels)
-MIN_NCC = 0.93
+MIN_STD = 0.03             # texture gate (images are [0, 1] floats)
+MIN_NCC = 0.90
 
 
 def load(path: str) -> np.ndarray:
@@ -153,6 +153,8 @@ def selftest():
     img = conv(base) * 40 + 128
     true = (3.375, -0.221)    # (dx, dy) true shift of content
     yy, xx = np.mgrid[0:400, 0:500].astype(np.float64)
+    # content moves RIGHT by dx: shifted(x) = img(x - dx), so the search
+    # in img finds the patch at offset -dx (ncc offsets are img-relative)
     shifted = bilinear(img, yy + true[1], xx - true[0])
     errs = []
     for r0 in range(60, 300, 48):
@@ -163,7 +165,7 @@ def selftest():
                 continue
             iy, ix, _ = hit
             sy, sx = lk_refine(img, patch, r0 + iy, c0 + ix)
-            errs.append((-(ix + sx) - (-true[0]), (iy + sy) - true[1]))
+            errs.append(((ix + sx) - (-true[0]), (iy + sy) - true[1]))
     errs = np.abs(np.asarray(errs))
     print(f"selftest: |dx err| p50={np.median(errs[:,0]):.4f} "
           f"max={errs[:,0].max():.4f} px; |dy err| "
