@@ -49,6 +49,7 @@ class Graph:
         if origin is None:
             origin = SE3.identity(dtype=dtype)
         self._origin_id = self._append_node(origin)
+        self._anchors: List[int] = [self._origin_id]
 
     # -- mutation ------------------------------------------------------------
     def _append_node(self, pose: SE3) -> int:
@@ -80,6 +81,15 @@ class Graph:
         self._adjacency[src].append(edge_id)
         self._adjacency[dst].append(edge_id)
         return edge_id
+
+    def set_anchor(self, node_id: int) -> None:
+        """Give ``node_id`` the same tight prior as the origin (used to
+        gauge-fix additional disconnected components, e.g. tracking
+        segments with no odometry edge between them)."""
+        if node_id >= len(self._poses):
+            raise KeyError(f"unknown node {node_id}")
+        if node_id not in self._anchors:
+            self._anchors.append(node_id)
 
     def merge_from(self, other: "Graph", anchor: SE3 | None = None) -> Dict[int, int]:
         """Import another graph's nodes/edges (the working version of the
@@ -156,7 +166,8 @@ class Graph:
             rel[:e] = np.stack(self._edge_rel)
             info[:e] = np.stack(self._edge_info)
         prior_info = np.zeros((N, 6, 6))
-        prior_info[self._origin_id] = np.eye(6) / (pg.ORIGIN_STDDEV**2)
+        for a in self._anchors:
+            prior_info[a] = np.eye(6) / (pg.ORIGIN_STDDEV**2)
         return pg.PoseGraphData(
             poses=poses,
             node_mask=node_mask,

@@ -1,0 +1,655 @@
+"""Back-end integration: keyframe skeleton + loop closure + pose graph.
+
+The reference DESIGNED a pose-graph back-end but never wired it to the
+tracker — nothing in its ``front-end/`` or ``utility/`` calls ``back-end/``
+(``Graph`` is exercised only by ``test/test-graph.cpp``; see SURVEY §2.5).
+This module is the integration it stopped short of, built against the
+fused tracker:
+
+- **keyframe skeleton**: every ``keyframe_every``-th tracked frame's state
+  snapshot (pose, descriptors, rays, landmark positions in the keyframe's
+  OWN camera frame — storing them locally makes later loop measurements
+  independent of accumulated world-frame drift);
+- **odometry edges** between consecutive keyframes, information from the
+  tracking BA's diagnostics (inlier count / mean error — a scaled-Fisher
+  heuristic; the reference's own covariance plumbing is acknowledged shaky,
+  ``sfm-refine.cpp:126-129``);
+- **loop-closure detection**: one batched int8-MXU Hamming match of the new
+  keyframe's descriptor set against EVERY stored keyframe at once
+  (``ops/matching``), candidates by Lowe-filtered match count;
+- **geometric verification + metric relative pose**: P3P-RANSAC of the new
+  keyframe's rays against the candidate's locally-stored landmarks — a
+  drift-free ``T_new_in_old`` measurement (monocular scale rides on the
+  landmarks, so the loop edge is metric, unlike an E-matrix pose whose
+  translation norm is unobservable);
+- **pose-graph optimization** (``backend/pose_graph``, reference LM anchor
+  ``back-end/graph.cpp:136-159,254-258``) on the skeleton — optionally
+  edge-sharded over a device mesh (``parallel/dist_pose_graph``) — and
+  trajectory correction re-anchoring every raw pose to its keyframe.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvslam_tpu.backend import pose_graph as pg
+from mvslam_tpu.math.lie import SE3
+from mvslam_tpu.ops import matching, pnp
+
+Array = jax.Array
+
+
+class BackendParams(NamedTuple):
+    keyframe_every: int = 5          # tracked frames per keyframe
+    min_loop_gap: int = 4            # keyframes; skips trivially-adjacent pairs
+    min_loop_matches: int = 60       # Lowe-filtered descriptor matches
+    min_loop_inliers: int = 40       # P3P-RANSAC inliers to accept an edge
+    loop_hypotheses: int = 128
+    loop_reproj_px: float = 1.5      # P3P inlier gate (pixels)
+    # mutual-verification gates: forward/backward resections must compose
+    # to identity within these bounds (translation as a fraction of |t|,
+    # rotation in radians)
+    loop_mutual_frac: float = 0.10
+    loop_mutual_rot: float = 0.05
+    max_match_distance: int = 64
+    # information heuristic: sigma = base / sqrt(n_inliers). Loop edges are
+    # DIRECT wide-baseline resections (mutually verified, 50-100 inliers,
+    # measured accurate to ~1-2% on the synthetic loop) while odometry
+    # edges are compositions of ~keyframe_every 2-frame steps each carrying
+    # monocular scale drift — so loop edges get ~6x tighter priors
+    odo_sigma_t: float = 0.1
+    odo_sigma_r: float = 0.15
+    loop_sigma_t: float = 0.02
+    loop_sigma_r: float = 0.025
+    # RELATIVE translation error: resection/odometry translation error
+    # grows with baseline (depth-normalized observations), so sigma_t
+    # gains a |t|-proportional term — without it, medium-range loop
+    # resections (measured ~3-8% off at 2+-unit spans) overpower honest
+    # local odometry and warp the mid-trajectory. Loop edges bottom out
+    # at the SOURCE map's depth noise (sigma_z/z = z/(f*B) * sigma_px,
+    # ~3.6% for a fresh bootstrap map — ACCURACY.md); odometry's
+    # per-edge fraction reflects its measured drift (5-11% of edge
+    # length late in a long loop), which is systematic, not sqrt-N
+    odo_sigma_frac: float = 0.05
+    loop_sigma_frac: float = 0.03
+    # Sim3 scale-component sigmas: odometry allows ~2% scale drift per
+    # keyframe step; a loop edge MEASURES relative scale (forward/backward
+    # resection |t| ratio) to a few percent
+    odo_sigma_s: float = 0.02
+    loop_sigma_s: float = 0.03
+    max_keyframes: int = 256
+
+
+class Keyframe(NamedTuple):
+    frame_idx: int                   # index in the input stream
+    pose: SE3                        # tracker camera-to-world at capture
+    num_inliers: int
+    mean_error: float
+    # tracking segment: a tracker reset re-bootstraps with a FRESH world
+    # origin and monocular scale, so poses are only comparable within one
+    # segment. Odometry edges and loop closures never span segments (a
+    # cross-segment closure needs Sim3 — scale is not observable from a
+    # single P3P against the other segment's map; documented limitation).
+    segment: int = 0
+
+
+@partial(jax.jit, static_argnames=("max_distance",))
+def _loop_match_counts(desc_new, mask_new, desc_all, mask_all, max_distance):
+    """Lowe-filtered match count of the new keyframe against every stored
+    one: vmapped MXU Hamming matching, one dispatch."""
+
+    def one(d2, m2):
+        m = matching.match_features(
+            desc_new, mask_new, d2, m2, max_distance=max_distance
+        )
+        return jnp.sum(m.mask).astype(jnp.int32)
+
+    return jax.vmap(one)(desc_all, mask_all)
+
+
+@partial(jax.jit, static_argnames=("max_distance",))
+def _loop_refine_ba(desc_old, mask_old, rays_old, sigma_old, lm_old,
+                    lm_mask_old, desc_new, mask_new, rays_new, sigma_new,
+                    R0, t0, thr_sq, point_stddev, max_distance):
+    """Polish a loop measurement with the anchored two-frame BA: old
+    keyframe at identity (hard prior), new keyframe initialized at the
+    P3P estimate, points initialized at the old keyframe's landmarks with
+    isotropic priors so the solve can redistribute per-landmark noise
+    instead of projecting it all into the pose (the raw P3P resection
+    carries the old map's noise at ~1.5-3% of span; the joint solve is
+    the same machinery that holds the tracker at ~0.3% per span).
+    Observations are GATED by reprojection under the P3P initialization
+    (``thr_sq``) in BOTH frames — descriptor matches across a wide
+    baseline carry gross outliers that an ungated high-weight BA turns
+    into divergence (measured ref_err ~2000-8000 ungated).
+    Returns (R, t, n_obs_used, mean_error) of ``T_new_in_old``."""
+    from mvslam_tpu.ops import ba as ba_mod
+
+    m = matching.match_features(
+        desc_new, mask_new, desc_old, mask_old, max_distance=max_distance
+    )
+    dtype = rays_old.dtype
+    lm = lm_old[m.idx]
+    ok = m.mask & lm_mask_old[m.idx]
+    T0 = SE3(R0.astype(dtype), t0.astype(dtype))
+    e_new = pnp.reprojection_error_sq(T0, lm, rays_new)
+    ident = SE3(jnp.eye(3, dtype=dtype), jnp.zeros(3, dtype))
+    e_old = pnp.reprojection_error_sq(ident, lm, rays_old[m.idx])
+    ok = ok & (e_new < thr_sq) & (e_old < thr_sq)
+    obs = jnp.stack([rays_old[m.idx][:, :2], rays_new[:, :2]])
+    obs_mask = jnp.stack([ok, ok])
+    weight = jnp.stack([1.0 / jnp.maximum(sigma_old[m.idx], 1e-6),
+                        1.0 / jnp.maximum(sigma_new, 1e-6)])
+    lm_old = lm
+    poses0 = SE3(
+        jnp.stack([jnp.eye(3, dtype=dtype), R0.astype(dtype)]),
+        jnp.stack([jnp.zeros(3, dtype), t0.astype(dtype)]),
+    )
+    pose_prior_info = jnp.stack(
+        [1e10 * jnp.eye(6, dtype=dtype), jnp.zeros((6, 6), dtype)]
+    )
+    iso = jnp.eye(3, dtype=dtype) / (point_stddev ** 2)
+    point_info = jnp.where(ok[:, None, None], iso, 0.0)
+    prob = ba_mod.BAProblem.create(
+        poses0=poses0, points0=lm_old,
+        obs=obs, obs_mask=obs_mask, obs_weight=weight,
+        pose_prior=poses0, pose_prior_info=pose_prior_info,
+        point_prior=lm_old, point_prior_info=point_info,
+    )
+    res = ba_mod.ba_solve(
+        prob, ba_mod.BAParams(max_iterations=15, compute_covariance=False)
+    )
+    n_obs = jnp.maximum(jnp.sum(obs_mask), 1)
+    mean_err = 2.0 * res.error / n_obs.astype(dtype)
+    return res.poses.R[1], res.poses.t[1], jnp.sum(ok).astype(jnp.int32), \
+        mean_err
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "max_distance"))
+def _loop_rel_pose(desc_new, mask_new, rays_new, desc_old, mask_old,
+                   lm_old, lm_mask, key, thr_sq, num_hypotheses,
+                   max_distance):
+    """Metric ``T_new_in_old`` by P3P-RANSAC against the old keyframe's
+    locally-stored landmarks (+ pose-only GN polish on the inliers)."""
+    m = matching.match_features(
+        desc_new, mask_new, desc_old, mask_old, max_distance=max_distance
+    )
+    pts = lm_old[m.idx]
+    ok = m.mask & lm_mask[m.idx]
+    pose, inl = pnp.pnp_ransac_core(
+        pts, rays_new, ok, key, num_hypotheses, thr_sq
+    )
+    pose = pnp.refine_pose_gn(pose, pts, rays_new, inl.astype(pts.dtype))
+    err = pnp.reprojection_error_sq(pose, pts, rays_new)
+    inl = ok & (err < thr_sq)
+    return pose.R, pose.t, jnp.sum(inl).astype(jnp.int32)
+
+
+class PoseGraphBackend:
+    """Host-side accumulator: feed tracked-frame snapshots, get an
+    optimized keyframe skeleton + corrected trajectory."""
+
+    def __init__(self, params: BackendParams = BackendParams(),
+                 focal: float = 350.0, seed: int = 0):
+        self.p = params
+        self.focal = float(focal)
+        self._key = jax.random.PRNGKey(seed)
+        self.keyframes: list[Keyframe] = []
+        # (j, i, rel T_i_in_j, n_inliers, measured scale ratio s_i/s_j)
+        self.loop_edges: list[tuple[int, int, SE3, int, float]] = []
+        self._tracked_since_kf = 0
+        self._segment = 0
+        self.loop_debug: list[dict] = []   # per-candidate gate diagnostics
+        # stacked device-side keyframe stores (grown by power-of-two pads)
+        self._desc = None            # (C, K, 8) uint32
+        self._mask = None            # (C, K) bool
+        self._rays = None            # (C, K, 3) refined observation rays
+        self._sigma = None           # (C, K) observation sigma (ideal plane)
+        self._assoc = None           # (C, K) int32 feature -> map slot
+        self._lm = None              # (C, K, 3) landmarks in kf-local frame
+        self._lm_mask = None         # (C, K) bool
+        self._raw_poses: list[tuple[int, np.ndarray, np.ndarray]] = []
+
+    # -- feeding ------------------------------------------------------------
+    def add_frame(self, frame_idx: int, state, out) -> list[int]:
+        """Record a tracked frame; returns indexes of keyframes whose loop
+        edges were accepted this call (usually empty). ``state``/``out`` are
+        the fused tracker's ``VoJitState`` / ``VoStepOut``."""
+        if not bool(out.success):
+            # track loss: cadence resets, and if we had keyframes the NEXT
+            # successful frame starts a new segment (new origin + scale)
+            self._tracked_since_kf = 0
+            if self.keyframes:
+                self._segment = self.keyframes[-1].segment + 1
+            return []
+        self._raw_poses.append(
+            (frame_idx, np.asarray(out.pose_R), np.asarray(out.pose_t))
+        )
+        self._tracked_since_kf += 1
+        is_first = not self.keyframes
+        if not is_first and self._tracked_since_kf < self.p.keyframe_every:
+            return []
+        self._tracked_since_kf = 0
+        return self._add_keyframe(frame_idx, state, out)
+
+    def _add_keyframe(self, frame_idx: int, state, out) -> list[int]:
+        if len(self.keyframes) >= self.p.max_keyframes:
+            return []
+        pose = SE3(jnp.asarray(np.asarray(out.pose_R)),
+                   jnp.asarray(np.asarray(out.pose_t)))
+        # landmarks observed by this frame, re-expressed in ITS camera frame
+        assoc = state.lf_assoc
+        safe = jnp.where(assoc >= 0, assoc, 0)
+        lm_world = state.map_pos[safe]
+        lm_mask = (assoc >= 0) & state.map_valid[safe] & state.lf_mask
+        lm_local = pose.inverse().apply(lm_world)
+        kf_i = len(self.keyframes)
+        self.keyframes.append(Keyframe(
+            frame_idx=frame_idx, pose=pose,
+            num_inliers=int(out.num_inliers),
+            mean_error=float(out.mean_error),
+            segment=self._segment,
+        ))
+        accepted = self._detect_loops(kf_i, state, lm_local, lm_mask)
+        self._store(state, lm_local, lm_mask)
+        return accepted
+
+    def _store(self, state, lm_local, lm_mask) -> None:
+        row = (np.asarray(state.lf_desc)[None],
+               np.asarray(state.lf_mask)[None],
+               np.asarray(state.lf_obs_rays)[None],
+               np.asarray(state.lf_obs_sigma)[None],
+               np.asarray(state.lf_assoc)[None],
+               np.asarray(lm_local)[None],
+               np.asarray(lm_mask)[None])
+        fields = ("_desc", "_mask", "_rays", "_sigma", "_assoc", "_lm",
+                  "_lm_mask")
+        if self._desc is None:
+            for f, b in zip(fields, row):
+                setattr(self, f, b)
+        else:
+            for f, b in zip(fields, row):
+                setattr(self, f, np.concatenate([getattr(self, f), b]))
+
+    # -- loop closure -------------------------------------------------------
+    def _detect_loops(self, kf_i: int, state, lm_local, lm_mask) -> list[int]:
+        n_prev = kf_i
+        last_ok = n_prev - self.p.min_loop_gap
+        if last_ok <= 0:
+            return []
+        C = 1 << max(0, (n_prev - 1)).bit_length()    # pad: stable jit shapes
+        desc_all = np.zeros((C,) + self._desc.shape[1:], self._desc.dtype)
+        mask_all = np.zeros((C,) + self._mask.shape[1:], bool)
+        desc_all[:n_prev] = self._desc
+        mask_all[:last_ok] = self._mask[:last_ok]     # gap: mask out recents
+        # never close loops across tracking segments (scale mismatch)
+        for j in range(last_ok):
+            if self.keyframes[j].segment != self._segment:
+                mask_all[j] = False
+        counts = np.asarray(_loop_match_counts(
+            state.lf_desc, state.lf_mask, jnp.asarray(desc_all),
+            jnp.asarray(mask_all), self.p.max_match_distance,
+        ))[:n_prev]
+        accepted = []
+        order = np.argsort(-counts)
+        thr_sq = jnp.asarray((self.p.loop_reproj_px / self.focal) ** 2,
+                             jnp.float32)
+        for j in order[:2]:                           # top candidates only
+            if counts[j] < self.p.min_loop_matches:
+                break
+            self._key, k1, k2 = jax.random.split(self._key, 3)
+            # forward: new keyframe's rays vs old keyframe's landmarks
+            R1, t1, n1 = _loop_rel_pose(
+                state.lf_desc, state.lf_mask, state.lf_rays,
+                jnp.asarray(self._desc[j]), jnp.asarray(self._mask[j]),
+                jnp.asarray(self._lm[j]), jnp.asarray(self._lm_mask[j]),
+                k1, thr_sq, self.p.loop_hypotheses, self.p.max_match_distance,
+            )
+            n_inl = int(n1)
+            if n_inl < self.p.min_loop_inliers:
+                continue
+            # MUTUAL verification: resection the other way (old rays vs the
+            # new keyframe's landmarks) and require the two measurements to
+            # compose to ~identity. Wide-baseline candidate pairs on the
+            # near-planar background can produce confident-looking but
+            # wrong P3P fits (plane-induced ambiguity); a wrong fit has no
+            # reason to agree with its reverse.
+            R2, t2, n2 = _loop_rel_pose(
+                jnp.asarray(self._desc[j]), jnp.asarray(self._mask[j]),
+                jnp.asarray(self._rays[j]),
+                state.lf_desc, state.lf_mask,
+                jnp.asarray(lm_local), jnp.asarray(lm_mask),
+                k2, thr_sq, self.p.loop_hypotheses, self.p.max_match_distance,
+            )
+            if int(n2) < self.p.min_loop_inliers:
+                continue
+            T1 = SE3(jnp.asarray(np.asarray(R1)), jnp.asarray(np.asarray(t1)))
+            T2 = SE3(jnp.asarray(np.asarray(R2)), jnp.asarray(np.asarray(t2)))
+            gap = np.asarray(T1.compose(T2).log())
+            t_norm = float(np.linalg.norm(np.asarray(t1)))
+            gap_t = float(np.linalg.norm(gap[:3]))
+            gap_r = float(np.linalg.norm(gap[3:]))
+            if (gap_t > max(self.p.loop_mutual_frac * t_norm, 0.05)
+                    or gap_r > self.p.loop_mutual_rot):
+                continue
+            # measured relative scale: |t| of the forward resection is in
+            # the OLD keyframe's local metric, the backward one in the
+            # NEW's — their ratio observes s_new/s_old (the Sim3 edge's
+            # scale component; see backend/sim3_graph.py)
+            s_rel = float(np.linalg.norm(np.asarray(t2))) / max(t_norm, 1e-9)
+            # edge VALUE: anchored two-frame BA polish of the P3P estimate
+            # against the old keyframe's landmarks (point priors let the
+            # solve redistribute per-landmark noise instead of projecting
+            # it into the pose — see _loop_refine_ba)
+            R5, t5, n5, ref_err = _loop_refine_ba(
+                jnp.asarray(self._desc[j]), jnp.asarray(self._mask[j]),
+                jnp.asarray(self._rays[j]), jnp.asarray(self._sigma[j]),
+                jnp.asarray(self._lm[j]), jnp.asarray(self._lm_mask[j]),
+                state.lf_desc, state.lf_mask, state.lf_rays,
+                state.lf_obs_sigma, R1, t1, thr_sq,
+                jnp.asarray(0.05, jnp.float32), self.p.max_match_distance,
+            )
+            T5 = SE3(jnp.asarray(np.asarray(R5)), jnp.asarray(np.asarray(t5)))
+            # keep the polish only if it stays consistent with the gated
+            # P3P estimate and its residual is sane
+            gap5 = np.asarray(T5.inverse().compose(T1).log())
+            use_ba = (
+                bool(np.all(np.isfinite(np.asarray(t5))))
+                and np.linalg.norm(gap5[:3]) <= 0.2 * max(t_norm, 1e-9)
+                and np.linalg.norm(gap5[3:]) <= 0.1
+                and float(ref_err) < 50.0
+            )
+            T_edge = T5 if use_ba else T1
+            self.loop_debug.append(dict(
+                j=int(j), i=kf_i, use_ba=use_ba, n_ba=int(n5),
+                ref_err=float(ref_err),
+                gap_t=float(np.linalg.norm(gap5[:3])),
+                gap_r=float(np.linalg.norm(gap5[3:])),
+                t_norm=t_norm,
+            ))
+            self.loop_edges.append((int(j), kf_i, T_edge, n_inl, s_rel))
+            accepted.append(int(j))
+        return accepted
+
+    # -- optimization -------------------------------------------------------
+    def _info(self, n_inl: int, loop: bool = False,
+              t_norm: float = 0.0) -> np.ndarray:
+        s = 1.0 / np.sqrt(max(n_inl, 1))
+        base_t = self.p.loop_sigma_t if loop else self.p.odo_sigma_t
+        base_r = self.p.loop_sigma_r if loop else self.p.odo_sigma_r
+        frac = self.p.loop_sigma_frac if loop else self.p.odo_sigma_frac
+        sig = np.concatenate([
+            np.full(3, base_t * s + frac * t_norm),
+            np.full(3, base_r * s),
+        ])                                           # translation-first se3
+        return np.diag(1.0 / sig**2)
+
+    def build_graph(self):
+        """Skeleton -> ``backend.graph.Graph``: node 0 anchored at the first
+        keyframe pose, odometry + loop BetweenFactor edges."""
+        from mvslam_tpu.backend.graph import Graph
+
+        assert self.keyframes, "no keyframes recorded"
+        kfs = self.keyframes
+        g = Graph(origin=kfs[0].pose)
+        ids = [g.origin_id]
+        for a, b in zip(kfs[:-1], kfs[1:]):
+            ids.append(g.add_pose_node(b.pose))
+            if a.segment == b.segment:
+                rel = a.pose.inverse().compose(b.pose)
+                tn = float(np.linalg.norm(np.asarray(rel.t)))
+                cov = np.linalg.inv(self._info(b.num_inliers, t_norm=tn))
+                g.add_transformation_edge(ids[-2], ids[-1], rel, cov)
+            else:
+                # segment break: no odometry edge (incomparable frames);
+                # anchor the new segment's first keyframe instead so its
+                # component stays observable
+                g.set_anchor(ids[-1])
+        for j, i, rel, n_inl, _s in self.loop_edges:
+            tn = float(np.linalg.norm(np.asarray(rel.t)))
+            cov = np.linalg.inv(self._info(n_inl, loop=True, t_norm=tn))
+            g.add_transformation_edge(ids[j], ids[i], rel, cov)
+        return g, ids
+
+    def optimize(self, mesh=None, params=None, method: str = "sim3") -> SE3:
+        """Optimize the skeleton; returns corrected keyframe poses (N,).
+
+        ``method="sim3"`` (default) runs the scale-drift-aware Sim3 graph
+        (``backend/sim3_graph.py``) — monocular odometry drifts in scale,
+        which an SE3 graph cannot absorb (it trades endpoint error for
+        mid-trajectory warp). ``method="se3"`` runs the reference-parity
+        SE3 graph. With ``mesh``, edges shard over its data axis.
+        """
+        if method == "se3":
+            g, ids = self.build_graph()
+            params = params or pg.PoseGraphParams()
+            data = g.to_data()
+            if mesh is not None:
+                from mvslam_tpu.parallel.dist_pose_graph import (
+                    distributed_pose_graph_optimize,
+                )
+
+                res = distributed_pose_graph_optimize(data, mesh, params)
+            else:
+                res = pg.pose_graph_optimize(data, params)
+            n = len(self.keyframes)
+            return SE3(res.poses.R[:n], res.poses.t[:n])
+        data = self._build_sim3_data()
+        from mvslam_tpu.backend import sim3_graph as sg
+
+        params = params or sg.Sim3GraphParams()
+        if mesh is not None:
+            from mvslam_tpu.parallel.dist_pose_graph import (
+                distributed_sim3_graph_optimize,
+            )
+
+            res = distributed_sim3_graph_optimize(data, mesh, params)
+        else:
+            res = sg.sim3_graph_optimize(data, params)
+        n = len(self.keyframes)
+        # Sim3 -> SE3: the node scale models the tracker's local metric
+        # distortion; the trajectory estimate is (R, t) directly
+        return SE3(res.poses.R[:n], res.poses.t[:n])
+
+    def _build_sim3_data(self):
+        """Keyframe skeleton -> padded ``Sim3GraphData`` (odometry edges
+        within segments, measured-scale loop edges, anchors per segment)."""
+        from mvslam_tpu.backend import sim3_graph as sg
+
+        kfs = self.keyframes
+        assert kfs, "no keyframes recorded"
+        n = len(kfs)
+        N = 1 << max(0, (max(n, 2) - 1)).bit_length()
+        edges = []       # (src, dst, Sim3 rel, info7)
+
+        def info7(n_inl, loop, t_norm):
+            s = 1.0 / np.sqrt(max(n_inl, 1))
+            base_t = self.p.loop_sigma_t if loop else self.p.odo_sigma_t
+            base_r = self.p.loop_sigma_r if loop else self.p.odo_sigma_r
+            frac = self.p.loop_sigma_frac if loop else self.p.odo_sigma_frac
+            sig = np.concatenate([
+                np.full(3, base_t * s + frac * t_norm),
+                np.full(3, base_r * s),
+                [self.p.loop_sigma_s if loop else self.p.odo_sigma_s],
+            ])
+            return np.diag(1.0 / sig**2)
+
+        anchors = [0]
+        for a_i, (a, b) in enumerate(zip(kfs[:-1], kfs[1:])):
+            if a.segment == b.segment:
+                rel = a.pose.inverse().compose(b.pose)
+                tn = float(np.linalg.norm(np.asarray(rel.t)))
+                edges.append((a_i, a_i + 1,
+                              (1.0, np.asarray(rel.R), np.asarray(rel.t)),
+                              info7(b.num_inliers, False, tn)))
+            else:
+                anchors.append(a_i + 1)
+        for j, i, rel, n_inl, s_rel in self.loop_edges:
+            tn = float(np.linalg.norm(np.asarray(rel.t)))
+            edges.append((j, i, (s_rel, np.asarray(rel.R),
+                                 np.asarray(rel.t)),
+                          info7(n_inl, True, tn)))
+        E = 1 << max(0, (max(len(edges), 2) - 1)).bit_length()
+        dtype = np.float64
+        s_n = np.ones(N, dtype)
+        R_n = np.tile(np.eye(3), (N, 1, 1))
+        t_n = np.zeros((N, 3), dtype)
+        for k, kf in enumerate(kfs):
+            R_n[k] = np.asarray(kf.pose.R)
+            t_n[k] = np.asarray(kf.pose.t)
+        src = np.zeros(E, np.int32)
+        dst = np.zeros(E, np.int32)
+        s_e = np.ones(E, dtype)
+        R_e = np.tile(np.eye(3), (E, 1, 1))
+        t_e = np.zeros((E, 3), dtype)
+        info_e = np.tile(np.eye(7), (E, 1, 1))
+        for k, (a, b, (ss, RR, tt), inf) in enumerate(edges):
+            src[k], dst[k] = a, b
+            s_e[k], R_e[k], t_e[k] = ss, RR, tt
+            info_e[k] = inf
+        prior_info = np.zeros((N, 7, 7), dtype)
+        for a in anchors:
+            prior_info[a] = np.eye(7) / (pg.ORIGIN_STDDEV**2)
+        J = jnp.asarray
+        return sg.Sim3GraphData(
+            poses=sg.Sim3(J(s_n), J(R_n), J(t_n)),
+            node_mask=jnp.arange(N) < n,
+            edge_src=J(src), edge_dst=J(dst),
+            edge_rel=sg.Sim3(J(s_e), J(R_e), J(t_e)),
+            edge_info=J(info_e),
+            edge_mask=jnp.arange(E) < len(edges),
+            prior_pose=sg.Sim3(J(s_n), J(R_n), J(t_n)),
+            prior_info=J(prior_info),
+        )
+
+    # -- sliding-window BA (BASELINE config 3) -------------------------------
+    def windowed_refine(self, window: int = 5, point_cap: int = 1024,
+                        ba_params=None):
+        """Multi-frame BA over the LAST ``window`` keyframes — the
+        sliding-window refinement the BASELINE names (config 3) and the
+        reference's generic F-frame BA kernel supports but is never called
+        with more than 2 frames (``vision/ba.cpp:26-156``).
+
+        Landmarks = union of map slots observed in the window (up to
+        ``point_cap``, most-observed first), observations = each
+        keyframe's refined rays, weighted by stored sigmas. Gauge: first
+        window pose anchored hard; the rest carry a weak regulator prior
+        at their current estimates (the reference's sigma=1e-2 regulator
+        idea, ``sfm-refine.cpp:69-78``, relaxed to 0.1/0.05 so the window
+        can actually move).
+
+        Returns ``(kf_indexes, refined_poses (W,), mean_error)``.
+        """
+        from mvslam_tpu.ops import ba as ba_mod
+
+        # the window never spans a tracking segment break
+        seg = self.keyframes[-1].segment
+        seg_len = sum(1 for k in self.keyframes if k.segment == seg)
+        W = min(window, seg_len)
+        assert W >= 2, "windowed refine needs >= 2 keyframes in the segment"
+        lo = len(self.keyframes) - W
+        assoc = self._assoc[lo:lo + W]                 # (W, K)
+        lmm = self._lm_mask[lo:lo + W]
+        rays = self._rays[lo:lo + W]
+        sigma = self._sigma[lo:lo + W]
+        poses = [self.keyframes[lo + w].pose for w in range(W)]
+        # union of slots, most-observed first
+        valid = (assoc >= 0) & lmm
+        slots, counts = np.unique(assoc[valid], return_counts=True)
+        slots = slots[np.argsort(-counts)][:point_cap]
+        P = len(slots)
+        slot_col = {int(s): i for i, s in enumerate(slots)}
+        obs = np.zeros((W, P, 2), np.float32)
+        obs_mask = np.zeros((W, P), bool)
+        weight = np.ones((W, P), np.float32)
+        pts0 = np.zeros((P, 3), np.float32)
+        lw = np.zeros((W, P, 3), np.float32)
+        for w in range(W):
+            pose_w = poses[w]
+            lm_world = np.asarray(pose_w.apply(jnp.asarray(self._lm[lo + w])))
+            for k in np.nonzero(valid[w])[0]:
+                col = slot_col.get(int(assoc[w, k]))
+                if col is None:
+                    continue
+                obs[w, col] = rays[w, k, :2]
+                obs_mask[w, col] = True
+                weight[w, col] = 1.0 / max(float(sigma[w, k]), 1e-6)
+                lw[w, col] = lm_world[k]
+        # slot-identity gate: a map SLOT is recycled under LRU eviction, so
+        # the same slot id at two keyframes may be two different physical
+        # landmarks. Keep an observation only when that keyframe's own
+        # world-position estimate agrees with the latest sighting within
+        # 15% of depth (re-triangulated content fails by orders of
+        # magnitude; honest re-refinements of one landmark pass easily).
+        for col in range(P):
+            ws = np.nonzero(obs_mask[:, col])[0]
+            if len(ws) == 0:
+                continue
+            ref_w = int(ws[-1])
+            ref = lw[ref_w, col]
+            pts0[col] = ref
+            cam = np.asarray(poses[ref_w].t, np.float64)
+            depth = max(float(np.linalg.norm(ref - cam)), 1e-6)
+            for w in ws[:-1]:
+                if np.linalg.norm(lw[w, col] - ref) > 0.15 * depth:
+                    obs_mask[w, col] = False
+        poses0 = SE3(jnp.stack([p.R for p in poses]),
+                     jnp.stack([p.t for p in poses]))
+        prior_info = np.zeros((W, 6, 6), np.float32)
+        prior_info[0] = 1e10 * np.eye(6)
+        reg = np.diag(np.concatenate([
+            np.full(3, 1.0 / 0.1**2), np.full(3, 1.0 / 0.05**2)
+        ])).astype(np.float32)
+        prior_info[1:] = reg
+        # keep >= 2 observations per landmark (single-view points are
+        # unconstrained along the ray and only drag the solve)
+        multi = obs_mask.sum(0) >= 2
+        obs_mask &= multi[None, :]
+        prob = ba_mod.BAProblem.create(
+            poses0=poses0,
+            points0=jnp.asarray(pts0),
+            obs=jnp.asarray(obs),
+            obs_mask=jnp.asarray(obs_mask),
+            obs_weight=jnp.asarray(weight),
+            pose_prior=poses0,
+            pose_prior_info=jnp.asarray(prior_info),
+            point_prior=jnp.asarray(pts0),
+            point_prior_info=jnp.zeros((P, 3, 3), jnp.float32),
+        )
+        params = ba_params or ba_mod.BAParams(
+            max_iterations=20, compute_covariance=False
+        )
+        res = ba_mod.ba_solve(prob, params)
+        n_obs = max(int(obs_mask.sum()), 1)
+        mean_err = 2.0 * float(res.error) / n_obs
+        idxs = [self.keyframes[lo + w].frame_idx for w in range(W)]
+        return idxs, res.poses, mean_err
+
+    def correct_trajectory(self, opt_poses: SE3):
+        """Re-anchor every raw tracked pose to its most recent keyframe:
+        ``T = T_kf_opt . (T_kf_raw^-1 . T_raw)``. Returns
+        [(frame_idx, R (3,3), t (3,)) ...] as numpy."""
+        kf_frames = [k.frame_idx for k in self.keyframes]
+        out = []
+        ki = -1
+        corr_R = np.eye(3)
+        corr_t = np.zeros(3)
+        for idx, R, t in self._raw_poses:
+            while ki + 1 < len(kf_frames) and kf_frames[ki + 1] <= idx:
+                ki += 1
+                kf = self.keyframes[ki]
+                A = SE3(opt_poses.R[ki], opt_poses.t[ki]).compose(
+                    kf.pose.inverse()
+                )
+                corr_R = np.asarray(A.R)
+                corr_t = np.asarray(A.t)
+            if ki < 0:
+                out.append((idx, R, t))
+            else:
+                out.append((idx, corr_R @ R, corr_R @ t + corr_t))
+        return out

@@ -173,6 +173,40 @@ def test_visual_odometer_app_end_to_end(tmp_path):
     assert len(traj) == 4
 
 
+def test_visual_odometer_app_pose_graph(tmp_path):
+    # --pose-graph: fused tracker + keyframe/loop-closure back-end; on the
+    # 5-frame tsukuba replay the skeleton is loop-free (no revisits) and
+    # the exported optimized trajectory must stay consistent with the raw
+    # one (odometry-only graph ~= identity correction)
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    (ds / "camera.config").write_text(
+        open(f"{TSUKUBA}/camera.config").read()
+    )
+    (ds / "image.txt").write_text(
+        "\n".join(f"{TSUKUBA}/{i}.jpg" for i in range(1, 6))
+    )
+    env = dict(os.environ, MVSLAM_PLATFORM="cpu",
+               JAX_COMPILATION_CACHE_DIR="/root/repo/.jax_cache")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mvslam_tpu.apps.visual_odometer", str(ds),
+         "--quiet", "--pose-graph", "--keyframe-every", "1",
+         "--out-dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=1800, env=env,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "frame_tracked = 4" in proc.stdout, proc.stdout
+    assert (tmp_path / "trajectory.tum").exists()
+    assert (tmp_path / "trajectory_optimized.tum").exists()
+    traj = load_trajectory_tum(str(tmp_path / "trajectory.tum"))
+    opt = load_trajectory_tum(str(tmp_path / "trajectory_optimized.tum"))
+    assert len(traj) == 4 and len(opt) == 4
+    for (_, _, p_raw), (_, _, p_opt) in zip(traj, opt):
+        d = np.linalg.norm(np.asarray(p_raw.t) - np.asarray(p_opt.t))
+        assert d < 0.1, d
+
+
 def test_checkpoint_round_trip(tmp_path):
     if not os.path.isdir(TSUKUBA):
         pytest.skip("tsukuba absent")

@@ -25,9 +25,10 @@ item 3):
     predicts the integer arm lands much closer to the analytic (i,0,0)
     trajectory than the subpixel arm.
 
-Run on CPU (does not touch the TPU):
-    JAX_PLATFORMS=cpu python tools/accuracy_floor.py [--skip-ab]
-Results are committed to ACCURACY.md.
+Run: python tools/accuracy_floor.py [--skip-ab]   (bare = the default
+platform, i.e. the real chip when attached — see the site-hook NOTE below;
+prefix JAX_PLATFORMS=cpu to force CPU). Results committed to ACCURACY.md
+are on-chip.
 """
 
 from __future__ import annotations
@@ -36,8 +37,12 @@ import argparse
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# NOTE: a site hook imports jax at interpreter startup, so JAX_PLATFORMS
+# must be set BEFORE python starts to have any effect ("JAX_PLATFORMS=cpu
+# python tools/...").  Invoked bare, this tool runs on the default
+# platform — the REAL TPU chip when one is attached (the bench platform;
+# the numbers committed to ACCURACY.md are on-chip).
 
 import numpy as np
 

@@ -18,7 +18,7 @@ per variant; run on CPU):
   re-resolved through the landmark information filter (expected decay).
 
 Prints per-frame (success, mean_error, |t - gt|_max) per variant.
-Run: JAX_PLATFORMS=cpu python tools/probe_frame3.py
+Run: python tools/probe_frame3.py [--both] (on-chip when attached).
 """
 
 from __future__ import annotations
@@ -26,8 +26,12 @@ from __future__ import annotations
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# NOTE: a site hook imports jax at interpreter startup, so JAX_PLATFORMS
+# must be set BEFORE python starts to have any effect ("JAX_PLATFORMS=cpu
+# python tools/...").  Invoked bare, this tool runs on the default
+# platform — the REAL TPU chip when one is attached (the bench platform;
+# the numbers committed to ACCURACY.md are on-chip).
 
 sys.path.insert(0, "/root/repo")
 
