@@ -42,6 +42,9 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 # NOTE: env vars are too late here — site hooks import jax at interpreter
 # startup, so the platform/device count must go through the config API.
 
