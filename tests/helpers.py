@@ -114,18 +114,24 @@ def _sample_bilinear(tex, u, v):
 
 
 def render_planes_sequence(ts, h=240, w=320, focal=280.0, seed=42,
-                           bg_slope=0.0):
+                           bg_slope=0.0, yaws=None):
     """Render frames for camera translations ``ts`` (N, 3) over the
-    two-plane scene (identity rotation, optical axis +z). Returns
-    (N, h, w) float32 frames. Revisiting a position reproduces the same
-    view — the fixture for loop-closure tests.
+    two-plane scene (optical axis +z). Returns (N, h, w) float32 frames.
+    Revisiting a pose reproduces the same view — the fixture for
+    loop-closure tests.
 
     ``bg_slope`` tilts the background plane to ``z = 8 + slope*(x - mid)``:
     two fronto-parallel planes give monocular VO only two discrete depths,
     whose weak conditioning drifts scale enough to trip the self-heal reset
     every ~15-25 frames; the slanted background's continuous depth spread
-    keeps long sequences in ONE tracked segment."""
+    keeps long sequences in ONE tracked segment.
+
+    ``yaws`` (N,) rotates the camera about +y (radians, right-handed:
+    positive yaw looks toward -x); rays are intersected with the planes
+    analytically, so rotation ground truth is exact."""
     ts = np.asarray(ts, np.float64)
+    n = ts.shape[0]
+    yaws = np.zeros(n) if yaws is None else np.asarray(yaws, np.float64)
     rng = np.random.default_rng(seed)
     ppu_bg, z_bg = 40.0, 8.0
     ppu_fg, z_fg = 70.0, 4.0
@@ -142,20 +148,25 @@ def render_planes_sequence(ts, h=240, w=320, focal=280.0, seed=42,
     ry = (ys - cy) / focal
     mid = 0.5 * (x_lo + x_hi)
     frames = []
-    for t in ts:
-        # background: plane z = z_bg + slope*(x - mid); the ray from t is
-        # p = t + s*(rx, ry, 1), so s*(1 - slope*rx) = z_bg +
-        # slope*(t_x - mid) - t_z
-        s = (z_bg + bg_slope * (t[0] - mid) - t[2]) / (1.0 - bg_slope * rx)
-        wx = t[0] + s * rx
-        wy = t[1] + s * ry
+    for t, psi in zip(ts, yaws):
+        # world ray direction: R_y(psi) @ (rx, ry, 1)
+        c, si = np.cos(psi), np.sin(psi)
+        dx = c * rx + si * 1.0
+        dy = ry
+        dz = -si * rx + c * 1.0
+
+        def plane_hit(z0, slope=0.0):
+            # plane z = z0 + slope*(x - mid): t_z + s*dz = z0 +
+            # slope*(t_x + s*dx - mid)
+            s = (z0 + slope * (t[0] - mid) - t[2]) / (dz - slope * dx)
+            return t[0] + s * dx, t[1] + s * dy
+
+        wx, wy = plane_hit(z_bg, bg_slope)
         img = _sample_bilinear(
             tex_bg, (wx - x_lo) * ppu_bg + 80,
             (wy + z_bg * h / focal / 2) * ppu_bg + 80,
         )
-        sf = z_fg - t[2]
-        wxf = t[0] + sf * rx
-        wyf = t[1] + sf * ry
+        wxf, wyf = plane_hit(z_fg)
         fg = _sample_bilinear(
             tex_fg, (wxf - x_lo) * ppu_fg + 80,
             (wyf + z_bg * h / focal / 2) * ppu_fg + 80,
