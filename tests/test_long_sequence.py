@@ -7,6 +7,15 @@ two textured planes at different depths (a single plane is degenerate for
 the essential-matrix bootstrap), rendered analytically with known camera
 poses — the long-sequence analog of the reference's tracking-loop contract
 (``visual-odometer.cpp:384-500``).
+
+NOTE: ``tests/helpers.render_planes_sequence`` is the generalized (and
+maintained) version of this renderer — arbitrary camera paths, yaw,
+slanted background — used by the loop-closure/rotation tests and the
+bench's long-sequence section. This file keeps its original private copy
+VERBATIM because the assertions below (tracked fraction, eviction and
+drift bounds) were certified against these exact frames; regenerating
+them under the generalized sampler would force a re-tuning with no
+coverage gain.
 """
 
 import jax
