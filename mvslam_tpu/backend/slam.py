@@ -21,11 +21,18 @@ fused tracker:
   keyframe's rays against the candidate's locally-stored landmarks — a
   drift-free ``T_new_in_old`` measurement (monocular scale rides on the
   landmarks, so the loop edge is metric, unlike an E-matrix pose whose
-  translation norm is unobservable);
-- **pose-graph optimization** (``backend/pose_graph``, reference LM anchor
-  ``back-end/graph.cpp:136-159,254-258``) on the skeleton — optionally
-  edge-sharded over a device mesh (``parallel/dist_pose_graph``) — and
-  trajectory correction re-anchoring every raw pose to its keyframe.
+  translation norm is unobservable) — MUTUALLY verified (the reverse
+  resection must compose to ~identity; plane-induced wrong-but-confident
+  fits fail this) and POLISHED by an anchored two-frame BA whose point
+  priors absorb per-landmark map noise (``_loop_refine_ba``), plus a
+  measured relative-SCALE observation per edge (fwd/bwd |t| ratio);
+- **pose-graph optimization** on the skeleton: the scale-drift-aware Sim3
+  graph by default (``backend/sim3_graph`` — monocular odometry drifts in
+  scale, which an SE3 graph cannot absorb) or the reference-parity SE3
+  graph (``backend/pose_graph``, anchor ``back-end/graph.cpp:136-159,
+  254-258``), optionally edge-sharded over a device mesh
+  (``parallel/dist_pose_graph``), then trajectory correction re-anchoring
+  every raw pose to its keyframe.
 """
 
 from __future__ import annotations
@@ -57,11 +64,10 @@ class BackendParams(NamedTuple):
     loop_mutual_frac: float = 0.10
     loop_mutual_rot: float = 0.05
     max_match_distance: int = 64
-    # information heuristic: sigma = base / sqrt(n_inliers). Loop edges are
-    # DIRECT wide-baseline resections (mutually verified, 50-100 inliers,
-    # measured accurate to ~1-2% on the synthetic loop) while odometry
-    # edges are compositions of ~keyframe_every 2-frame steps each carrying
-    # monocular scale drift — so loop edges get ~6x tighter priors
+    # information heuristic: sigma = base / sqrt(n_inliers) + frac * |t|.
+    # Loop edges are DIRECT wide-baseline measurements while odometry
+    # edges chain ~keyframe_every 2-frame steps of drift; the bases and
+    # fractions below are the r5 sweep's best on the synthetic loop
     odo_sigma_t: float = 0.1
     odo_sigma_r: float = 0.15
     loop_sigma_t: float = 0.02
